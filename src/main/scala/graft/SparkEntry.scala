@@ -1,13 +1,276 @@
 package graft
+
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import graft.ops.CoreQueries
+import graft.spatial.SpatialQueries
+import graft.text.{TextOps, Dedup}
+import graft.ann.Ann
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Every operator from SURVEY.md §2 that is implemented has a `queries` entry;
+  * SQL-expressible ones also carry a DuckDB oracle in [[oracleSql]] with
+  * column names/types matched to the Spark output.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the spatial-join + tile-assignment pipeline over the point
+    * cloud — PIP join against the boundary fixture + per-boundary rollup.
+    * Driver smoke-checks rows>0 at sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    SpatialQueries.pipJoin(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // relational core (SURVEY.md §2.1-2.4)
+    "q01_agg_pushdown" -> (CoreQueries.aggPushdown _),
+    "q02_join_broadcast" -> (CoreQueries.joinBroadcast _),
+    "q03_join_multi" -> (CoreQueries.joinMulti _),
+    "q04_semi_anti" -> (CoreQueries.semiAnti _),
+    // windows / event-stream semantics (§2.5)
+    "q05_window_lead" -> (CoreQueries.windowLead _),
+    "q06_lag_pairs" -> (CoreQueries.lagPairs _),
+    "q07_minor_version" -> (CoreQueries.minorVersionCounter _),
+    "q08_interactions_classify" -> (CoreQueries.interactionsClassify _),
+    "q09_daily_rollup" -> (CoreQueries.dailyRollup _),
+    "q10_rolling30" -> (CoreQueries.rolling30 _),
+    "q11_cumsum" -> (CoreQueries.cumsum _),
+    "q12_conditional_rollup" -> (CoreQueries.conditionalRollup _),
+    // set ops / projections (§2.7, §2.2)
+    "q13_layer_union" -> (CoreQueries.layerUnion _),
+    "q14_dedup_precedence" -> (CoreQueries.dedupPrecedence _),
+    "q15_token_counts" -> (CoreQueries.tokenCounts _),
+    "q16_json_extract" -> (CoreQueries.jsonExtract _),
+    // spatial engine (§2.3 J6/J7, §2.8 X8-X11)
+    "q17_pip_join" -> (SpatialQueries.pipJoin _),
+    "q18_tile_rollup" -> (SpatialQueries.tileRollup _),
+    "q19_knn_hexring" -> (SpatialQueries.knnHexRing _),
+    "q20_haversine_tracks" -> (SpatialQueries.haversineTracks _),
+    "q21_bbox_areas" -> (SpatialQueries.bboxAreas _),
+    // training-data text ops
+    "q22_quality" -> (TextOps.quality _),
+    "q23_token_stats" -> (TextOps.tokenStats _),
+    "q24_lang_id" -> (TextOps.langId _),
+    "q25_exact_dedup" -> (Dedup.exactDupStats _),
+    "q26_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
+    "q27_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
+    "q28_simhash" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
+    "q29_fingerprint" -> (TextOps.fingerprints _),
+    // ANN over embeddings
+    "q30_ann_brute" -> ((s: SparkSession, d: String) => Ann.bruteTopK(s, d)),
+    "q31_ann_lsh" -> ((s: SparkSession, d: String) => Ann.lshTopK(s, d))
+  )
+
+  private val tsS = "floor(epoch(ts))::BIGINT"
+  private val evWin = "PARTITION BY user_id ORDER BY ts_s, event_id"
+  private val pts =
+    s"SELECT event_id, event_type, user_id, value, value % 360.0 - 180.0 AS lon, (user_id % 181 - 90)::DOUBLE AS lat FROM events"
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg_pushdown" ->
+      """SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n,
+         sum(floor(l_quantity*100.0+0.5)::BIGINT)::BIGINT AS qty_cents,
+         sum(floor(l_extendedprice*100.0+0.5)::BIGINT)::BIGINT AS price_cents
+         FROM lineitem WHERE l_quantity > 5.0 GROUP BY 1,2""",
+    "q02_join_broadcast" ->
+      """SELECT r_name, n_name, count(*)::BIGINT AS n_cust,
+         sum(floor(c_acctbal*100.0+0.5)::BIGINT)::BIGINT AS acctbal_cents
+         FROM customer JOIN nation ON c_nationkey=n_nationkey JOIN region ON n_regionkey=r_regionkey
+         GROUP BY 1,2""",
+    "q03_join_multi" ->
+      """SELECT c_mktsegment, count(*)::BIGINT AS n_lines,
+         sum(floor(l_extendedprice*(1.0-l_discount)*100.0+0.5)::BIGINT)::BIGINT AS revenue_cents
+         FROM lineitem JOIN orders ON l_orderkey=o_orderkey JOIN customer ON o_custkey=c_custkey
+         GROUP BY 1""",
+    "q04_semi_anti" ->
+      """SELECT c_nationkey,
+         sum(CASE WHEN o.o_custkey IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_with_orders,
+         sum(CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_without_orders
+         FROM customer c LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o ON c.c_custkey=o.o_custkey
+         GROUP BY 1""",
+    "q05_window_lead" ->
+      s"""WITH e AS (SELECT *, $tsS AS ts_s FROM events)
+         SELECT user_id, event_id, ts_s AS vs, lead(ts_s) OVER ($evWin) AS vu FROM e""",
+    "q06_lag_pairs" ->
+      """WITH l AS (SELECT l_orderkey, l_suppkey,
+           lag(l_suppkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_suppkey) AS prev_supp
+         FROM lineitem)
+         SELECT l_suppkey, prev_supp, count(*)::BIGINT AS n_interactions
+         FROM l WHERE prev_supp IS NOT NULL GROUP BY 1,2 HAVING count(*) > 1""",
+    "q07_minor_version" ->
+      s"""WITH e AS (SELECT *, $tsS AS ts_s FROM events),
+         s AS (SELECT user_id, event_id, ts_s,
+           sum(CASE WHEN event_type IN ('signup','purchase') THEN 1 ELSE 0 END)
+             OVER ($evWin ROWS UNBOUNDED PRECEDING)::BIGINT AS mv_seg
+         FROM e)
+         SELECT user_id, event_id, mv_seg,
+           (row_number() OVER (PARTITION BY user_id, mv_seg ORDER BY ts_s, event_id) - 1)::INT AS mv
+         FROM s""",
+    "q08_interactions_classify" ->
+      s"""WITH e AS (SELECT *, $tsS AS ts_s FROM events),
+         w AS (SELECT user_id, event_id, event_type, ts_s,
+           row_number() OVER ($evWin) AS rn, lead(ts_s) OVER ($evWin) AS vu_next FROM e)
+         SELECT user_id, event_id,
+           CASE WHEN rn=1 THEN 'CRE' WHEN event_type='error' THEN 'DEL'
+                WHEN event_type IN ('signup','purchase') THEN 'MAV' ELSE 'MIV' END AS e,
+           ts_s AS vs,
+           CASE WHEN rn<>1 AND event_type='error' THEN ts_s+1 ELSE vu_next END AS vu,
+           rn::INT AS v
+         FROM w""",
+    "q09_daily_rollup" ->
+      s"""SELECT floor(floor(epoch(ts))/86400)::BIGINT AS day, count(*)::BIGINT AS n_edits,
+         count(DISTINCT user_id)::BIGINT AS n_users,
+         round(sum(floor(value*100.0+0.5)::BIGINT)::DOUBLE / count(*) / 100.0, 4) AS mean_value
+         FROM events GROUP BY 1""",
+    "q10_rolling30" ->
+      """WITH d AS (SELECT floor(floor(epoch(ts))/86400)::BIGINT AS day, count(*)::BIGINT AS n
+           FROM events GROUP BY 1)
+         SELECT day, n, round(avg(n) OVER (ORDER BY day ROWS BETWEEN 29 PRECEDING AND CURRENT ROW), 4) AS rolling30
+         FROM d""",
+    "q11_cumsum" ->
+      """WITH d AS (SELECT floor(floor(epoch(ts))/86400)::BIGINT AS day, count(*)::BIGINT AS n
+           FROM events GROUP BY 1)
+         SELECT day, n, sum(n) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_n FROM d""",
+    "q12_conditional_rollup" ->
+      """SELECT floor(floor(epoch(ts))/86400)::BIGINT AS day,
+         sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END)::BIGINT AS clicks,
+         sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END)::BIGINT AS views,
+         sum(CASE WHEN event_type='purchase' THEN floor(value*100.0+0.5)::BIGINT ELSE 0 END)::BIGINT AS purchase_cents,
+         count(*)::BIGINT AS edits
+         FROM events GROUP BY 1""",
+    "q13_layer_union" ->
+      """SELECT floor(floor(epoch(ts))/86400)::BIGINT AS key, count(*)::BIGINT AS n, 'daily' AS layer FROM events GROUP BY 1
+         UNION ALL
+         SELECT user_id AS key, count(*)::BIGINT AS n, 'user' AS layer FROM events GROUP BY 1""",
+    "q14_dedup_precedence" ->
+      s"""WITH e AS (SELECT *, $tsS AS ts_s FROM events),
+         r AS (SELECT user_id, event_id, ts_s, row_number() OVER ($evWin) AS rn FROM e)
+         SELECT user_id, event_id AS first_event, ts_s AS first_ts FROM r WHERE rn=1""",
+    "q15_token_counts" ->
+      """SELECT lower(tok) AS tok, count(*)::BIGINT AS n
+         FROM (SELECT unnest(string_split(text,' ')) AS tok FROM documents)
+         WHERE length(tok) >= 5 GROUP BY 1 HAVING count(*) > 10""",
+    "q16_json_extract" ->
+      """SELECT event_type, count(*)::BIGINT AS n,
+         sum(CAST(json_extract_string(props,'k') AS INT))::BIGINT AS sum_k,
+         max(CAST(json_extract_string(props,'k') AS INT))::INT AS max_k
+         FROM events GROUP BY 1""",
+    "q17_pip_join" ->
+      s"""WITH p AS ($pts),
+         t AS (SELECT user_id,
+           CASE WHEN lon > -179.505 AND lon < -100.505 AND lat > -89.5 AND lat < -30.5 THEN 'box_a'
+                WHEN lon > -60.505 AND lon < 20.495 AND lat > -20.5 AND lat < 30.5 THEN 'box_b'
+                WHEN lon > 60.495 AND lon < 169.495 AND lat > 35.5 AND lat < 60.5 THEN 'box_c'
+                WHEN lon > 30.25 AND lat > -80.5 AND lat < -80.5 - (2.0/7.0)*(lon-170.25) THEN 'tri_d'
+                ELSE NULL END AS boundary_id
+         FROM p)
+         SELECT boundary_id, count(*)::BIGINT AS n_points, count(DISTINCT user_id)::BIGINT AS n_users
+         FROM t WHERE boundary_id IS NOT NULL GROUP BY 1""",
+    "q18_tile_rollup" ->
+      s"""WITH p AS ($pts)
+         SELECT least(63, greatest(0, floor((lon+180.0)/360.0*64)::INT))::INT AS tx,
+                least(63, greatest(0, floor((90.0-lat)/180.0*64)::INT))::INT AS ty,
+           sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END)::BIGINT AS n_click,
+           sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END)::BIGINT AS n_view,
+           sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+           count(*)::BIGINT AS n_total
+         FROM p GROUP BY 1,2""",
+    "q19_knn_hexring" ->
+      s"""WITH p AS ($pts),
+         q(qid, qlon, qlat) AS (VALUES (1,-120.0,-60.0),(2,0.0,0.0),(3,100.0,40.0),(4,-30.0,10.0),(5,160.0,-70.0)),
+         d AS (SELECT q.qid, p.event_id AS pid,
+                 (p.lon-q.qlon)*(p.lon-q.qlon)+(p.lat-q.qlat)*(p.lat-q.qlat) AS d2
+               FROM p CROSS JOIN q),
+         r AS (SELECT qid, pid, row_number() OVER (PARTITION BY qid ORDER BY d2, pid) AS rk FROM d)
+         SELECT qid::BIGINT AS qid, pid, rk::INT AS rank FROM r WHERE rk <= 5""",
+    "q20_haversine_tracks" ->
+      s"""WITH p AS ($pts),
+         l AS (SELECT user_id, lon, lat, lag(lon) OVER w AS plon, lag(lat) OVER w AS plat
+               FROM p WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+         s AS (SELECT user_id,
+           2*6371.0088*asin(least(1.0, sqrt(
+             sin(((lat-plat)/180.0)*pi()/2)*sin(((lat-plat)/180.0)*pi()/2) +
+             cos((plat/180.0)*pi())*cos((lat/180.0)*pi()) *
+             sin(((lon-plon)/180.0)*pi()/2)*sin(((lon-plon)/180.0)*pi()/2)))) AS seg_km
+           FROM l WHERE plon IS NOT NULL)
+         SELECT user_id, count(*)::BIGINT AS n_segs,
+           round(sum(floor(seg_km*1000.0)::BIGINT)::DOUBLE/1000.0, 3) AS track_km
+         FROM s GROUP BY 1""",
+    "q21_bbox_areas" ->
+      s"""WITH p AS ($pts),
+         b AS (SELECT user_id, min(lon) AS w, max(lon) AS e, min(lat) AS s, max(lat) AS n
+               FROM p GROUP BY 1),
+         a AS (SELECT user_id, w, e, s, n,
+           abs((
+             ((e/180.0)*pi() - (w/180.0)*pi()) * (2.0 + sin((s/180.0)*pi()) + sin((s/180.0)*pi())) +
+             ((e/180.0)*pi() - (e/180.0)*pi()) * (2.0 + sin((s/180.0)*pi()) + sin((n/180.0)*pi())) +
+             ((w/180.0)*pi() - (e/180.0)*pi()) * (2.0 + sin((n/180.0)*pi()) + sin((n/180.0)*pi())) +
+             ((w/180.0)*pi() - (w/180.0)*pi()) * (2.0 + sin((n/180.0)*pi()) + sin((s/180.0)*pi())) +
+             0.0
+           ) * 6378137.0 * 6378137.0 / 2.0) / 1e6 AS area_km2
+           FROM b)
+         SELECT user_id,
+           floor(w*1000000.0+0.5)::BIGINT AS min_lon_e6, floor(e*1000000.0+0.5)::BIGINT AS max_lon_e6,
+           s::BIGINT AS min_lat, n::BIGINT AS max_lat,
+           floor(log10(greatest(area_km2, 1.0)))::BIGINT AS area_mag
+         FROM a""",
+    "q22_quality" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text,' ') AS toks FROM documents)
+         SELECT doc_id, length(text)::INT AS n_chars, len(toks)::INT AS n_tokens,
+           len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','it','on','for','with','as','at','by')))::INT AS n_stopwords,
+           floor((length(text) - len(toks) + 1) * 100.0 / len(toks))::BIGINT AS mean_tok_len_c,
+           floor(len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','it','on','for','with','as','at','by'))) * 10000.0 / len(toks))::BIGINT AS stop_bp,
+           len(list_filter(toks, x -> length(x) >= 8))::INT AS n_long_tokens
+         FROM t""",
+    "q23_token_stats" ->
+      """SELECT doc_id, len(string_split(text,' '))::INT AS ws_tokens,
+         ceil(length(text)/4.0)::BIGINT AS bpe_est,
+         len(list_distinct(string_split(text,' ')))::INT AS distinct_tokens
+         FROM documents""",
+    "q24_lang_id" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text,' ') AS toks FROM documents),
+         h AS (SELECT doc_id, lang AS true_lang,
+           len(list_filter(toks, x -> lower(x) IN ('der','die','das','und','ist','ein')))::INT AS hits_de,
+           len(list_filter(toks, x -> lower(x) IN ('the','and','of','to','is','with')))::INT AS hits_en,
+           len(list_filter(toks, x -> lower(x) IN ('el','la','los','y','de','es')))::INT AS hits_es,
+           len(list_filter(toks, x -> lower(x) IN ('le','la','les','et','de','un')))::INT AS hits_fr
+         FROM t)
+         SELECT doc_id, true_lang,
+           CASE WHEN greatest(hits_de,hits_en,hits_es,hits_fr)=0 THEN 'und'
+                WHEN hits_de=greatest(hits_de,hits_en,hits_es,hits_fr) THEN 'de'
+                WHEN hits_en=greatest(hits_de,hits_en,hits_es,hits_fr) THEN 'en'
+                WHEN hits_es=greatest(hits_de,hits_en,hits_es,hits_fr) THEN 'es'
+                ELSE 'fr' END AS pred_lang,
+           hits_de, hits_en, hits_es, hits_fr
+         FROM h""",
+    "q25_exact_dedup" ->
+      """WITH k AS (SELECT doc_id, md5(substr(lower(text),1,24)) AS k FROM documents),
+         g AS (SELECT k, count(*)::BIGINT AS n FROM k GROUP BY 1)
+         SELECT count(*)::BIGINT AS n_groups,
+           sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_groups,
+           sum(CASE WHEN n > 1 THEN n ELSE 0 END)::BIGINT AS n_dup_docs,
+           max(n)::BIGINT AS max_group
+         FROM g""",
+    "q26_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text,' ') AS toks FROM documents),
+         sh AS (SELECT DISTINCT doc_id, source,
+                  unnest(list_transform(range(1, len(toks)-1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+                FROM t WHERE len(toks) >= 3),
+         n AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY 1),
+         inter AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*)::BIGINT AS common
+                   FROM sh l JOIN sh r ON l.source=r.source AND l.g=r.g AND l.doc_id < r.doc_id
+                   GROUP BY 1,2)
+         SELECT i.a, i.b, i.common,
+           floor(i.common * 10000.0 / (na.n_sh + nb.n_sh - i.common))::BIGINT AS j_bp
+         FROM inter i JOIN n na ON i.a=na.doc_id JOIN n nb ON i.b=nb.doc_id
+         WHERE floor(i.common * 10000.0 / (na.n_sh + nb.n_sh - i.common)) >= 2000""",
+    "q30_ann_brute" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5),
+         d AS (SELECT q.qid, v.vec_id, list_cosine_similarity(q.qe, v.e) AS c FROM v CROSS JOIN q),
+         r AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rk FROM d)
+         SELECT qid, vec_id, rk::INT AS rank FROM r WHERE rk <= 10"""
+    // q27_minhash_lsh / q28_simhash / q29_fingerprint / q31_ann_lsh: sketch-based,
+    // not SQL-expressible with matching hash functions → rows-only gate check;
+    // accuracy is property-tested in ScalaTest against exact variants.
+  )
 }

