@@ -5,6 +5,7 @@ import graft.ops.CoreQueries
 import graft.spatial.SpatialQueries
 import graft.text.{TextOps, Dedup}
 import graft.ann.Ann
+import graft.pipeline.{ImagePipeline, Validate}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every operator from SURVEY.md §2 that is implemented has a `queries` entry;
@@ -13,11 +14,12 @@ import graft.ann.Ann
   */
 object SparkEntry {
 
-  /** Flagship: the spatial-join + tile-assignment pipeline over the point
-    * cloud — PIP join against the boundary fixture + per-boundary rollup.
-    * Driver smoke-checks rows>0 at sf0.001. */
+  /** Flagship: the spatial-join + tiling pipeline over the synthesized
+    * image+caption table (north_rule) — geotag derivation, H3/S2/quadkey cell
+    * encode in mapPartitions, PIP join vs broadcast metro boundaries,
+    * per-tile per-team rollup. Driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    SpatialQueries.pipJoin(spark, "/root/testdata/sf0.001")
+    ImagePipeline.run(spark, n = 5000L, parts = 16)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // relational core (SURVEY.md §2.1-2.4)
@@ -56,7 +58,11 @@ object SparkEntry {
     "q29_fingerprint" -> (TextOps.fingerprints _),
     // ANN over embeddings
     "q30_ann_brute" -> ((s: SparkSession, d: String) => Ann.bruteTopK(s, d)),
-    "q31_ann_lsh" -> ((s: SparkSession, d: String) => Ann.lshTopK(s, d))
+    "q31_ann_lsh" -> ((s: SparkSession, d: String) => Ann.lshTopK(s, d)),
+    // image pipeline (north_rule flagship; input synthesized deterministically)
+    "q32_image_tile_pivot" -> ((s: SparkSession, _: String) => ImagePipeline.run(s, 2000L, 16)),
+    "q33_image_validate" -> ((s: SparkSession, _: String) =>
+      Validate.summary(ImagePipeline.synthTable(s, 2000L, 16).toDF()))
   )
 
   private val tsS = "floor(epoch(ts))::BIGINT"
@@ -268,7 +274,11 @@ object SparkEntry {
          q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5),
          d AS (SELECT q.qid, v.vec_id, list_cosine_similarity(q.qe, v.e) AS c FROM v CROSS JOIN q),
          r AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rk FROM d)
-         SELECT qid, vec_id, rk::INT AS rank FROM r WHERE rk <= 10"""
+         SELECT qid, vec_id, rk::INT AS rank FROM r WHERE rk <= 10""",
+    "q33_image_validate" ->
+      """SELECT 2000::BIGINT AS n_rows, 2000::BIGINT AS n_pixels_ok,
+         2000::BIGINT AS n_captions_ok, 2000::BIGINT AS n_phash_ok,
+         true AS jpg_psnr_above_40""",
     // q27_minhash_lsh / q28_simhash / q29_fingerprint / q31_ann_lsh: sketch-based,
     // not SQL-expressible with matching hash functions → rows-only gate check;
     // accuracy is property-tested in ScalaTest against exact variants.

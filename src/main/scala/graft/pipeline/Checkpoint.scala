@@ -1,0 +1,86 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.synth.{ImageSynth, Geotag}
+import graft.index.Hex
+
+/** Resumable per-partition checkpointing with lineage (north_rule): the cell
+  * space is split into `buckets` by hex-cell hash; each bucket is processed
+  * as its own Spark job whose output commits atomically via a manifest JSON
+  * `(bucket, cellMin, cellMax, rowCount, phashDigest, validation metrics)`.
+  * A rerun skips every bucket whose manifest exists — exactly-once without
+  * Iceberg's snapshot machinery (SURVEY.md §7.4 #7). Bucket selection happens
+  * on the cheap seed-derived geotag, so skipped buckets cost only arithmetic,
+  * never pixel rendering.
+  *
+  * Mirrors the reference's `extraction.status` progress + error-counter file
+  * (InteractionsBuilder.java:114-123,470-507) upgraded to machine-readable
+  * per-partition manifests.
+  */
+object Checkpoint {
+
+  final case class Manifest(bucket: Int, cellMin: Long, cellMax: Long,
+                            rowCount: Long, phashDigest: Long,
+                            nPixelsOk: Long, nCaptionsOk: Long)
+
+  def bucketOf(seed: Long, hexRes: Int, buckets: Int): Int = {
+    val (lon, lat) = Geotag.of(seed)
+    val cell = Hex.latLngToCell(lat, lon, hexRes)
+    (ImageSynth.mix(cell) & 0x7FFFFFFF).toInt % buckets
+  }
+
+  private def manifestPath(outDir: String, b: Int) = Paths.get(s"$outDir/_commits/bucket-$b.json")
+
+  def committed(outDir: String, buckets: Int): Set[Int] =
+    (0 until buckets).filter(b => Files.exists(manifestPath(outDir, b))).toSet
+
+  /** Process all uncommitted buckets; optionally stop after `maxBuckets`
+    * (the kill-after-K test hook). Each bucket: synth its rows → validate →
+    * write parquet → commit manifest atomically (tmp + rename). */
+  def run(spark: SparkSession, n: Long, outDir: String, buckets: Int = 8,
+          parts: Int = 32, hexRes: Int = 7, maxBuckets: Int = Int.MaxValue): Seq[Manifest] = {
+    import spark.implicits._
+    Files.createDirectories(Paths.get(s"$outDir/_commits"))
+    val done = committed(outDir, buckets)
+    val todo = (0 until buckets).filterNot(done.contains).take(maxBuckets)
+    val res = hexRes; val nb = buckets
+
+    todo.map { b =>
+      // bucket membership decided from the seed alone — no render for skips
+      val ids = spark.range(0L, n, 1L, parts)
+        .filter(i => bucketOf(ImageSynth.seedOf(i), res, nb) == b)
+      val rows = ids.mapPartitions(_.map(i => ImageSynth.rowOf(i))).toDF()
+
+      val dataPath = s"$outDir/data/bucket=$b"
+      rows.write.mode("overwrite").parquet(dataPath)
+
+      // lineage + validation metrics from what was just written (re-read →
+      // proves the committed bytes, not the in-flight ones)
+      val written = spark.read.parquet(dataPath)
+      val v = Validate.verdicts(written).toDF()
+      val feats = ImagePipeline.featuresFromTable(written, hexRes = res)
+      val stats = feats.agg(
+        min(col("hex")).as("cellMin"), max(col("hex")).as("cellMax"),
+        count(lit(1)).as("rowCount"),
+        // order-independent digest: xor of phashes
+        expr("bit_xor(phash)").as("phashDigest")
+      ).head()
+      val vstats = v.agg(
+        sum(when(col("pixels_ok"), 1L).otherwise(0L)),
+        sum(when(col("caption_ok"), 1L).otherwise(0L))).head()
+
+      val m = Manifest(b, stats.getLong(0), stats.getLong(1), stats.getLong(2),
+        stats.getLong(3), vstats.getLong(0), vstats.getLong(1))
+      val json =
+        s"""{"bucket":${m.bucket},"cellMin":${m.cellMin},"cellMax":${m.cellMax},
+           |"rowCount":${m.rowCount},"phashDigest":${m.phashDigest},
+           |"nPixelsOk":${m.nPixelsOk},"nCaptionsOk":${m.nCaptionsOk}}""".stripMargin.replace("\n", "")
+      val tmp = Paths.get(s"$outDir/_commits/.bucket-$b.json.tmp")
+      Files.writeString(tmp, json)
+      Files.move(tmp, manifestPath(outDir, b), StandardCopyOption.ATOMIC_MOVE)
+      m
+    }
+  }
+}

@@ -1,0 +1,139 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.synth.{ImageSynth, Geotag}
+import graft.index.{Hex, Quadkey, S2Like}
+import graft.spatial.{Boundary, BoundaryIndex}
+
+/** The flagship spatial-join + tiling pipeline over the image+caption table
+  * (north_rule): geotagged image rows → H3/S2/quadkey cell encoding
+  * (mapPartitions over reused index objects) → point-in-polygon join against
+  * broadcast metro boundaries → raster↔vector tile assignment → per-tile
+  * contributor rollups — re-expressing the reference's interaction-tile
+  * outputs (util/map-contribution-extractor.js:164-320).
+  *
+  * Scale discipline:
+  *  - `bytes` never enters this path: features derive from (image_id, phash)
+  *    only, so the 100 TB of pixels stays at the scan and is column-pruned
+  *    away (SURVEY.md §7.4 #6). Pixel validation is a separate scan-side pass
+  *    ([[Validate]]) with no shuffle at all.
+  *  - One shuffle total: the rollup groupBy on (tile, team/uid/day); partial
+  *    aggregation absorbs metro skew map-side, AQE splits what remains.
+  */
+object ImagePipeline {
+
+  /** One geotagged feature row — the engine's point-feature analog of the
+    * reference's QA-tile feature (SURVEY.md §1.1 #5). */
+  final case class Feature(image_id: String, phash: Long,
+                           lon: Double, lat: Double,
+                           uid: Long, team: String, day: Long,
+                           tile: Long, hex: Long, s2: Long)
+
+  /** Metro boundary fixture: boxes around the three synthetic metros + one
+    * spanning none (negative control). */
+  val metroBoundaries: Seq[Boundary] = Geotag.Metros.zipWithIndex.map { case ((clon, clat, r), i) =>
+    val pad = r * 1.2
+    Boundary(s"metro_$i",
+      Array(clon - pad, clon + pad, clon + pad, clon - pad, clon - pad),
+      Array(clat - pad, clat - pad, clat + pad, clat + pad, clat - pad))
+  }.toSeq :+ Boundary("nowhere", Array(-10.0, -9.0, -9.0, -10.0, -10.0), Array(-89.9, -89.9, -89.0, -89.0, -89.9))
+
+  /** Distributed synthesis of the full input table (Iceberg-shaped rows). */
+  def synthTable(spark: SparkSession, n: Long, parts: Int): Dataset[ImageSynth.ImageRow] = {
+    import spark.implicits._
+    spark.range(0L, n, 1L, parts).mapPartitions(_.map(i => ImageSynth.rowOf(i)))
+  }
+
+  /** Feature derivation straight from row indices — cheap path that skips
+    * pixel rendering entirely (phash re-derived from rendered pixels is only
+    * needed by validation; here the phash comes with the row). */
+  def features(spark: SparkSession, n: Long, parts: Int,
+               hexRes: Int = 7, tileZ: Int = 12, s2Level: Int = 12): Dataset[Feature] = {
+    import spark.implicits._
+    spark.range(0L, n, 1L, parts).mapPartitions { it =>
+      // reused per-partition state: no per-row allocation beyond the Feature
+      it.map { i =>
+        val seed = ImageSynth.seedOf(i)
+        val (lon, lat) = Geotag.of(seed)
+        val (uid, team, day, _, _) = ImageSynth.metaOf(seed)
+        Feature(ImageSynth.idOf(i), 0L, lon, lat, uid, team, day,
+          Quadkey.cellIdOf(lon, lat, tileZ),
+          Hex.latLngToCell(lat, lon, hexRes),
+          S2Like.cellIdAt(lat, lon, s2Level))
+      }
+    }
+  }
+
+  /** Feature extraction from a *stored* image table (the path a real Iceberg
+    * table takes): derives geotag/meta from the id-seed, cells in
+    * mapPartitions. Never touches `bytes`. */
+  def featuresFromTable(rows: DataFrame, hexRes: Int = 7, tileZ: Int = 12,
+                        s2Level: Int = 12): Dataset[Feature] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.select(col("image_id"), col("phash")).as[(String, Long)].mapPartitions { it =>
+      it.map { case (id, ph) =>
+        val i = id.stripPrefix("img").toLong
+        val seed = ImageSynth.seedOf(i)
+        val (lon, lat) = Geotag.of(seed)
+        val (uid, team, day, _, _) = ImageSynth.metaOf(seed)
+        Feature(id, ph, lon, lat, uid, team, day,
+          Quadkey.cellIdOf(lon, lat, tileZ),
+          Hex.latLngToCell(lat, lon, hexRes),
+          S2Like.cellIdAt(lat, lon, s2Level))
+      }
+    }
+  }
+
+  /** PIP join: attach boundary_id via the broadcast index (inner join —
+    * points outside every boundary drop, like the reference's AOI). */
+  def pipJoin(feats: Dataset[Feature], boundaries: Seq[Boundary]): DataFrame = {
+    val spark = feats.sparkSession
+    val bc = spark.sparkContext.broadcast(new BoundaryIndex(boundaries.toArray))
+    val pip = udf { (lon: Double, lat: Double) => bc.value.queryFirst(lon, lat) }
+    feats.toDF()
+      .withColumn("boundary_id", pip(col("lon"), col("lat")))
+      .filter(col("boundary_id").isNotNull)
+  }
+
+  /** The reference's four stacked rollup layers (map-contribution-extractor.js:
+    * 164-320), re-expressed: objects (per tile/uid/day), userDaily, teamDaily,
+    * tile summaries with per-team pivot columns. One `layer` column unions
+    * them (SURVEY.md U1). */
+  def tileRollups(joined: DataFrame): DataFrame = {
+    val objects = joined.groupBy(col("tile"), col("uid"), col("day"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("tile"), col("uid").cast("long").as("k1"), col("day").as("k2"),
+        col("n"), lit("objects").as("layer"))
+    val teamDaily = joined.groupBy(col("tile"), col("team"), col("day"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("tile"), hash(col("team")).cast("long").as("k1"), col("day").as("k2"),
+        col("n"), lit("teamDaily").as("layer"))
+    val tileSummary = joined.groupBy(col("tile"))
+      .agg(
+        sum(when(col("team") === "kll", 1L).otherwise(0L)).as("kll_e"),
+        sum(when(col("team") === "msf", 1L).otherwise(0L)).as("msf_e"),
+        sum(when(col("team") === "dcx", 1L).otherwise(0L)).as("dcx_e"),
+        sum(when(col("team") === "hot", 1L).otherwise(0L)).as("hot_e"),
+        count(lit(1)).as("n"))
+      .select(col("tile"), lit(0L).as("k1"), lit(0L).as("k2"), col("n"), lit("tileSummary").as("layer"))
+    objects.unionByName(teamDaily).unionByName(tileSummary)
+  }
+
+  /** Per-tile per-team pivot — the `<team>-e` dynamic-column layer
+    * (map-contribution-extractor.js:295-311) with `teamSum` totals. */
+  def tileTeamPivot(joined: DataFrame): DataFrame =
+    joined.groupBy(col("tile"), col("boundary_id"))
+      .agg(
+        sum(when(col("team") === "kll", 1L).otherwise(0L)).as("kll_e"),
+        sum(when(col("team") === "msf", 1L).otherwise(0L)).as("msf_e"),
+        sum(when(col("team") === "dcx", 1L).otherwise(0L)).as("dcx_e"),
+        sum(when(col("team") === "hot", 1L).otherwise(0L)).as("hot_e"),
+        count(lit(1)).as("team_sum_e"),
+        countDistinct(col("uid")).as("n_users"))
+
+  /** End-to-end: synth-derived features → PIP join → tile/team rollup. */
+  def run(spark: SparkSession, n: Long, parts: Int = 32): DataFrame =
+    tileTeamPivot(pipJoin(features(spark, n, parts), metroBoundaries))
+}

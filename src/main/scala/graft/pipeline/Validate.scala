@@ -1,0 +1,77 @@
+package graft.pipeline
+
+import java.io.ByteArrayInputStream
+import javax.imageio.ImageIO
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.synth.ImageSynth
+
+/** Per-row validation of surviving rows against the synthesized source of
+  * truth (BASELINE.json input_hint): decoded-pixel allclose — exact for png,
+  * PSNR ≥ 40 dB for jpg — plus exact caption equality.
+  *
+  * Scan-side only: decode + re-render + compare all happen inside the
+  * partition that read the bytes; nothing but the tiny verdict rows shuffle.
+  */
+object Validate {
+
+  final case class Verdict(image_id: String, fmt: String, psnr: Double,
+                           pixels_ok: Boolean, caption_ok: Boolean, phash_ok: Boolean)
+
+  val JpgPsnrFloor = 40.0
+
+  /** PSNR in dB between two same-size images; +Infinity if identical. */
+  def psnr(a: java.awt.image.BufferedImage, b: java.awt.image.BufferedImage): Double = {
+    if (a.getWidth != b.getWidth || a.getHeight != b.getHeight) return 0.0
+    var se = 0.0
+    var y = 0
+    while (y < a.getHeight) {
+      var x = 0
+      while (x < a.getWidth) {
+        val p = a.getRGB(x, y); val q = b.getRGB(x, y)
+        val dr = ((p >> 16) & 0xFF) - ((q >> 16) & 0xFF)
+        val dg = ((p >> 8) & 0xFF) - ((q >> 8) & 0xFF)
+        val db = (p & 0xFF) - (q & 0xFF)
+        se += dr * dr + dg * dg + db * db
+        x += 1
+      }
+      y += 1
+    }
+    val mse = se / (3.0 * a.getWidth * a.getHeight)
+    if (mse == 0.0) Double.PositiveInfinity else 10.0 * math.log10(255.0 * 255.0 / mse)
+  }
+
+  /** Validate a stored image table (must carry image_id, bytes, w, h, fmt,
+    * caption, phash). Returns one Verdict per row. */
+  def verdicts(rows: DataFrame): Dataset[Verdict] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.select(col("image_id"), col("bytes"), col("fmt"), col("caption"), col("phash"))
+      .as[(String, Array[Byte], String, String, Long)]
+      .mapPartitions { it =>
+        it.map { case (id, bytes, fmt, caption, phash) =>
+          val i = id.stripPrefix("img").toLong
+          val seed = ImageSynth.seedOf(i)
+          val decoded = ImageIO.read(new ByteArrayInputStream(bytes))
+          val reference = ImageSynth.render(seed, decoded.getWidth, decoded.getHeight)
+          val p = psnr(decoded, reference)
+          val pixelsOk = if (fmt == "png") p.isPosInfinity else p >= JpgPsnrFloor
+          val (uid, team, day, _, _) = ImageSynth.metaOf(seed)
+          val expectCaption = ImageSynth.captionOf(seed, uid, team, day)
+          Verdict(id, fmt, if (p.isPosInfinity) 99.0 else p,
+            pixelsOk, caption == expectCaption, phash == ImageSynth.phashOf(reference))
+        }
+      }
+  }
+
+  /** Aggregate validation summary (the gate-facing shape). */
+  def summary(rows: DataFrame): DataFrame =
+    verdicts(rows).toDF().agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("pixels_ok"), 1L).otherwise(0L)).as("n_pixels_ok"),
+      sum(when(col("caption_ok"), 1L).otherwise(0L)).as("n_captions_ok"),
+      sum(when(col("phash_ok"), 1L).otherwise(0L)).as("n_phash_ok"),
+      min(when(col("fmt") === "jpg", col("psnr"))).as("min_jpg_psnr_raw"))
+      .select(col("n_rows"), col("n_pixels_ok"), col("n_captions_ok"), col("n_phash_ok"),
+        (col("min_jpg_psnr_raw") >= JpgPsnrFloor).as("jpg_psnr_above_40"))
+}

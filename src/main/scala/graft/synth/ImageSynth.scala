@@ -1,0 +1,168 @@
+package graft.synth
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import javax.imageio.ImageIO
+
+/** Deterministic synthesis of the graft's input table
+  * (BASELINE.json input_hint): rows of
+  * `(image_id:string, bytes:binary, w:int32, h:int32, fmt:string,
+  *   caption:string, phash:int64)`.
+  *
+  * Everything derives from the row index via a seeded xorshift — no
+  * wall-clock, no java.util.Random, no external data — so any row can be
+  * re-synthesized anywhere (executor-side re-render IS the per-row source of
+  * truth the PSNR/caption validators compare against).
+  *
+  * Geotags are *derived*, not stored: [[Geotag.of]] maps (image_id-seed) to a
+  * point, 70% clustered into 3 dense "metros" (manufactured skew — the dense
+  * z12-tile problem of the reference, SURVEY.md §4 "Skew handling") and 30%
+  * uniform tail.
+  */
+object ImageSynth {
+
+  final case class ImageRow(image_id: String, bytes: Array[Byte], w: Int, h: Int,
+                            fmt: String, caption: String, phash: Long)
+
+  @inline def mix(seedIn: Long): Long = {
+    // splitmix64 finalizer — deterministic, well-distributed
+    var z = seedIn + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  def idOf(i: Long): String = f"img$i%08d"
+  def seedOf(i: Long): Long = mix(i * 0x100000001B3L + 7L)
+
+  private val Sizes = Array(16, 32, 64)
+  private val CaptionVerbs = Array("edits", "maps", "squares", "traces", "tags", "imports")
+  private val CaptionNouns = Array("building", "highway", "landuse", "amenity", "boundary", "waterway")
+  private val Teams = Array("kll", "msf", "dcx", "hot")
+
+  /** Pixel-level render: a deterministic pattern of 8×8 constant-color
+    * blocks (aligned with JPEG's DCT grid, so the lossy roundtrip stays well
+    * above the 40 dB PSNR bar while the content remains seed-unique). */
+  def render(seed: Long, w: Int, h: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        // grayscale (r=g=b) keeps chroma constant, dodging 4:2:0 subsampling
+        // loss; the mild in-block ramp keeps JPEG *lossy* (so the PSNR path is
+        // genuinely exercised) while staying far above the 40 dB bar
+        val base = (mix(seed ^ ((y / 8).toLong << 32) ^ (x / 8).toLong) & 0xBF).toInt
+        val v = base + (x % 8) * 3 + (y % 8) * 4
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** 64-bit average-hash phash: 8x8 mean-pool luma, threshold at the mean. */
+  def phashOf(img: BufferedImage): Long = {
+    val gw = 8; val gh = 8
+    val cellW = math.max(1, img.getWidth / gw)
+    val cellH = math.max(1, img.getHeight / gh)
+    val lum = new Array[Double](gw * gh)
+    var gy = 0
+    while (gy < gh) {
+      var gx = 0
+      while (gx < gw) {
+        var s = 0.0; var n = 0
+        var y = gy * cellH
+        while (y < math.min((gy + 1) * cellH, img.getHeight)) {
+          var x = gx * cellW
+          while (x < math.min((gx + 1) * cellW, img.getWidth)) {
+            val rgb = img.getRGB(x, y)
+            s += 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+            n += 1; x += 1
+          }
+          y += 1
+        }
+        lum(gy * gw + gx) = if (n == 0) 0.0 else s / n
+        gx += 1
+      }
+      gy += 1
+    }
+    val mean = lum.sum / lum.length
+    var h = 0L; var i = 0
+    while (i < lum.length) { if (lum(i) > mean) h |= (1L << i); i += 1 }
+    h
+  }
+
+  def encode(img: BufferedImage, fmt: String): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    if (fmt == "jpg") {
+      // explicit high quality so the lossy roundtrip clears the PSNR>=40dB bar
+      val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+      val params = writer.getDefaultWriteParam
+      params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      params.setCompressionQuality(0.85f)
+      val ios = ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+      writer.dispose(); ios.close()
+    } else ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  def captionOf(seed: Long, uid: Long, team: String, day: Long): String = {
+    val v = CaptionVerbs((mix(seed ^ 11) & 0x7FFFFFFF).toInt % CaptionVerbs.length)
+    val n = CaptionNouns((mix(seed ^ 13) & 0x7FFFFFFF).toInt % CaptionNouns.length)
+    s"user$uid of $team $v $n on day $day"
+  }
+
+  /** Editing metadata derived from the seed (uid/team/day/changeset/version) —
+    * the `@uid/@c/@v/@timestamp` analog of the reference's QA-tile props
+    * (util/map-contribution-extractor.js:88-96). */
+  def metaOf(seed: Long): (Long, String, Long, Long, Int) = {
+    val uid = (mix(seed ^ 17) & 0x7FFFFFFF) % 500
+    val team = Teams(((mix(seed ^ 19) & 0x7FFFFFFF) % Teams.length).toInt)
+    val day = 18000L + (mix(seed ^ 23) & 0x7FFFFFFF) % 365 // epoch days
+    val changeset = (mix(seed ^ 29) & 0x7FFFFFFF) % 100000
+    val version = 1 + ((mix(seed ^ 31) & 0x7FFFFFFF) % 9).toInt
+    (uid, team, day, changeset, version)
+  }
+
+  /** Full row synthesis for index i. */
+  def rowOf(i: Long): ImageRow = {
+    val seed = seedOf(i)
+    val w = Sizes((mix(seed ^ 2) & 0x7FFFFFFF).toInt % Sizes.length)
+    val h = Sizes((mix(seed ^ 3) & 0x7FFFFFFF).toInt % Sizes.length)
+    val fmt = if ((mix(seed ^ 5) & 1L) == 0L) "png" else "jpg"
+    val img = render(seed, w, h)
+    val (uid, team, day, _, _) = metaOf(seed)
+    ImageRow(idOf(i), encode(img, fmt), w, h, fmt,
+      captionOf(seed, uid, team, day), phashOf(img))
+  }
+}
+
+/** Deterministic geotag derivation (engine-side, never stored). */
+object Geotag {
+  import ImageSynth.mix
+
+  /** (lonCenter, latCenter, spreadDeg) of the three dense metros. */
+  val Metros: Array[(Double, Double, Double)] = Array(
+    (-122.42, 37.77, 0.35), // "SF"
+    (2.35, 48.86, 0.25),    // "Paris"
+    (106.85, -6.21, 0.45))  // "Jakarta"
+
+  /** Seed → (lon, lat): 70% metro-clustered (skew!), 30% uniform tail. */
+  def of(seed: Long): (Double, Double) = {
+    val sel = mix(seed ^ 41)
+    if ((sel & 0x7FFFFFFF) % 10 < 7) {
+      val m = Metros(((sel >>> 33) % Metros.length).toInt)
+      val dx = (((mix(seed ^ 43) & 0xFFFFF).toDouble / 0xFFFFF) - 0.5) * 2 * m._3
+      val dy = (((mix(seed ^ 47) & 0xFFFFF).toDouble / 0xFFFFF) - 0.5) * 2 * m._3
+      (m._1 + dx, m._2 + dy)
+    } else {
+      val lon = (mix(seed ^ 53) & 0xFFFFFF).toDouble / 0xFFFFFF * 360.0 - 180.0
+      val lat = (mix(seed ^ 59) & 0xFFFFFF).toDouble / 0xFFFFFF * 170.0 - 85.0
+      (lon, lat)
+    }
+  }
+}
