@@ -129,12 +129,13 @@ object S2Like {
     val n = (1 << level).toDouble
     val s = (i + 0.5) / n; val t = (j + 0.5) / n
     val u = stToUV(s); val v = stToUV(t)
+    // exact inverses of xyzToFaceUV (face 3: u=-z/x, v=-y/x with x=-1 ⇒ z=u, y=v)
     val (x, y, z) = face match {
       case 0 => (1.0, u, v)
       case 1 => (-u, 1.0, v)
       case 2 => (-u, -v, 1.0)
-      case 3 => (-1.0, -v, -u)
-      case 4 => (v, -1.0, -u)
+      case 3 => (-1.0, v, u)
+      case 4 => (v, -1.0, u)
       case 5 => (v, u, -1.0)
     }
     val r = math.sqrt(x * x + y * y + z * z)

@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Shared local SparkSession for all Spark-backed specs (one JVM-wide session
+  * keeps `sbt -batch test` fast). */
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = Session.build(master = "local[4]", shufflePartitions = 4, appName = "graft-test")
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+}
+
+class PipelineSpec extends AnyFunSuite {
+  import graft.pipeline.{ImagePipeline, Validate}
+  import graft.synth.{ImageSynth, Geotag}
+  import graft.index.Quadkey
+  import org.apache.spark.sql.functions._
+
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("synth table carries the exact input_hint schema") {
+    val df = ImagePipeline.synthTable(spark, 20, 2).toDF()
+    assert(df.schema.map(f => (f.name, f.dataType.simpleString)).toSeq == Seq(
+      "image_id" -> "string", "bytes" -> "binary", "w" -> "int", "h" -> "int",
+      "fmt" -> "string", "caption" -> "string", "phash" -> "bigint"))
+  }
+
+  test("per-row validation: pixels (exact png / >=40dB jpg), captions, phash all pass") {
+    val row = Validate.summary(ImagePipeline.synthTable(spark, 300, 4).toDF()).head()
+    assert(row.getLong(0) == 300)
+    assert(row.getLong(1) == 300, "pixel validation failed rows")
+    assert(row.getLong(2) == 300, "caption mismatch rows")
+    assert(row.getLong(3) == 300, "phash mismatch rows")
+    assert(row.getBoolean(4), "jpg psnr fell below 40 dB")
+  }
+
+  test("feature tile assignment matches the scalar encoder row-for-row") {
+    val feats = ImagePipeline.features(spark, 200, 4).collect()
+    assert(feats.length == 200)
+    feats.foreach { f =>
+      val seed = ImageSynth.seedOf(f.image_id.stripPrefix("img").toLong)
+      val (lon, lat) = Geotag.of(seed)
+      assert(f.tile == Quadkey.cellIdOf(lon, lat, 12))
+      assert(math.abs(f.lon - lon) < 1e-12 && math.abs(f.lat - lat) < 1e-12)
+    }
+  }
+
+  test("pipeline rollup: team columns sum to team_sum_e; joined rows preserved") {
+    val joined = ImagePipeline.pipJoin(ImagePipeline.features(spark, 2000, 4),
+      ImagePipeline.metroBoundaries)
+    val nJoined = joined.count()
+    assert(nJoined > 1000, s"expected most rows in metros, got $nJoined") // ~70% clustered
+    val pivot = ImagePipeline.tileTeamPivot(joined)
+    val bad = pivot.filter(col("kll_e") + col("msf_e") + col("dcx_e") + col("hot_e") =!= col("team_sum_e")).count()
+    assert(bad == 0)
+    assert(pivot.agg(sum(col("team_sum_e"))).head().getLong(0) == nJoined)
+  }
+
+  test("PIP join assigns only real metro boundaries and respects containment") {
+    val joined = ImagePipeline.pipJoin(ImagePipeline.features(spark, 1000, 4),
+      ImagePipeline.metroBoundaries).collect()
+    val byId = ImagePipeline.metroBoundaries.map(b => b.id -> b).toMap
+    joined.foreach { r =>
+      val b = byId(r.getAs[String]("boundary_id"))
+      assert(b.containsPoint(r.getAs[Double]("lon"), r.getAs[Double]("lat")))
+    }
+    assert(!joined.exists(_.getAs[String]("boundary_id") == "nowhere"))
+  }
+
+  test("skew exists by construction (metro cells are dense at z8)") {
+    // z12 spreads a metro over ~64 tiles; at z8 (1.4 deg tiles) each metro is
+    // 1-4 tiles, so the hot-cell concentration the salting targets is visible
+    val feats = ImagePipeline.features(spark, 3000, 4)
+      .withColumn("z8", graft.index.Quadkey.cellIdCol(col("lon"), col("lat"), 8))
+    val counts = feats.groupBy(col("z8")).count().orderBy(col("count").desc).collect()
+    val top = counts.take(10).map(_.getLong(1)).sum.toDouble
+    assert(top / 3000.0 > 0.5, s"expected hot z8 cells holding >50% of rows, got ${top / 3000.0}")
+  }
+}
+
+class KnnSparkSpec extends AnyFunSuite {
+  import graft.spatial.Knn
+  import org.apache.spark.sql.functions._
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("hex-ring kNN equals brute force (property over random clouds)") {
+    import spark.implicits._
+    val r = new Prop.Rng(21)
+    val pts = (0L until 500L).map(i => (i, r.double(-60, 60), r.double(-40, 40)))
+    val df = pts.toDF("id", "lon", "lat")
+    val queries = Seq(Knn.QueryPoint(1, 0, 0), Knn.QueryPoint(2, -55, 30), Knn.QueryPoint(3, 59, -39))
+    val got = Knn.knn(df, queries, k = 7, res = 3)
+      .collect().map(row => (row.getLong(0), row.getLong(1), row.getInt(2))).toSet
+    val want = queries.flatMap { q =>
+      pts.map { case (id, lon, lat) =>
+        val dx = lon - q.lon; val dy = lat - q.lat
+        (id, dx * dx + dy * dy)
+      }.sortBy(x => (x._2, x._1)).take(7).zipWithIndex
+        .map { case ((id, _), i) => (q.qid, id, i + 1) }
+    }.toSet
+    assert(got == want)
+  }
+}
+
+class CoreOpsSpec extends AnyFunSuite {
+  import org.apache.spark.sql.functions._
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("minor-version counter resets on major edits (hand fixture)") {
+    import spark.implicits._
+    // user 1: MIV MIV MAJ MIV MAJ -> mv 0,1,0,1,0 within segments 0,0,1,1,2
+    val rows = Seq(
+      (1L, 10L, "click"), (1L, 20L, "view"), (1L, 30L, "signup"),
+      (1L, 40L, "click"), (1L, 50L, "purchase"))
+      .toDF("user_id", "ts_s", "event_type")
+    val isMajor = col("event_type").isin("signup", "purchase")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_s"))
+    val seg = sum(when(isMajor, 1L).otherwise(0L))
+      .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+    val inSeg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("mv_seg")).orderBy(col("ts_s"))
+    val out = rows.withColumn("mv_seg", seg)
+      .withColumn("mv", row_number().over(inSeg) - 1)
+      .orderBy(col("ts_s")).select(col("mv_seg"), col("mv")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(out == Seq((0L, 0), (0L, 1), (1L, 0), (1L, 1), (2L, 0)))
+  }
+
+  test("valid-interval lead semantics incl. DEL +1s (hand fixture)") {
+    import spark.implicits._
+    val rows = Seq((1L, 100L, "view"), (1L, 200L, "error"), (1L, 300L, "view"))
+      .toDF("user_id", "ts_s", "event_type")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_s"))
+    val out = rows
+      .withColumn("rn", row_number().over(w))
+      .withColumn("vu_next", lead(col("ts_s"), 1).over(w))
+      .withColumn("vu", when(col("rn") =!= 1 && col("event_type") === "error",
+        col("ts_s") + 1).otherwise(col("vu_next")))
+      .orderBy(col("ts_s")).select(col("vu")).collect().map(r => Option(r.get(0))).toSeq
+    assert(out == Seq(Some(200L), Some(201L), None))
+  }
+}

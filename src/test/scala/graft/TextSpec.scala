@@ -1,0 +1,113 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.{Dedup, TextOps}
+import graft.ann.Ann
+import graft.Prop.forAllSeeded
+
+class DedupSpec extends AnyFunSuite {
+
+  private val vocab = Array("spark", "merge", "join", "scan", "agg", "window",
+    "batch", "stream", "table", "vector", "tile", "cell", "hash", "sort")
+
+  private def randText(r: Prop.Rng, n: Int): String =
+    Array.fill(n)(vocab(r.int(0, vocab.length - 1))).mkString(" ")
+
+  test("shingles: count and content") {
+    val sh = Dedup.shingles("a b c d e", 3)
+    assert(sh.toSeq == Seq("a b c", "b c d", "c d e"))
+    assert(Dedup.shingles("a b", 3).toSeq == Seq("a b"))
+  }
+
+  private def trueJaccard(a: String, b: String, w: Int): Double = {
+    val sa = Dedup.shingles(a, w).toSet; val sb = Dedup.shingles(b, w).toSet
+    sa.intersect(sb).size.toDouble / sa.union(sb).size
+  }
+
+  test("minhash estimate tracks true Jaccard (property, k=128)") {
+    var sumErr = 0.0; var n = 0
+    forAllSeeded(60, seed = 7) { r =>
+      val base = randText(r, 60)
+      // mutate a suffix to create a partially-overlapping doc
+      val keep = r.int(10, 55)
+      val b = base.split(' ').take(keep).mkString(" ") + " " + randText(r, 60 - keep)
+      val t = trueJaccard(base, b, 3)
+      val sa = Dedup.minhashSignature(Dedup.shingles(base, 3), 128)
+      val sb = Dedup.minhashSignature(Dedup.shingles(b, 3), 128)
+      val est = sa.zip(sb).count { case (x, y) => x == y } / 128.0
+      sumErr += math.abs(est - t); n += 1
+      assert(math.abs(est - t) < 0.25, s"est=$est true=$t")
+    }
+    assert(sumErr / n < 0.08, s"mean |err| = ${sumErr / n}")
+  }
+
+  test("minhash: identical docs -> identical signatures; disjoint docs -> low match") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val sigA = Dedup.minhashSignature(Dedup.shingles(a, 3), 64)
+    val sigA2 = Dedup.minhashSignature(Dedup.shingles(a, 3), 64)
+    assert(sigA.toSeq == sigA2.toSeq)
+    val b = "one two three four five six seven eight nine ten"
+    val sigB = Dedup.minhashSignature(Dedup.shingles(b, 3), 64)
+    assert(sigA.zip(sigB).count { case (x, y) => x == y } <= 3)
+  }
+
+  test("simhash: small perturbation -> small hamming; random pair -> near 32") {
+    forAllSeeded(40, seed = 11) { r =>
+      val a = randText(r, 80)
+      val toks = a.split(' ')
+      val b = (toks.take(76) ++ Array("changed", "words", "here", "now")).mkString(" ")
+      val ha = java.lang.Long.bitCount(Dedup.simhash64(a) ^ Dedup.simhash64(b))
+      assert(ha <= 24, s"near-dup hamming $ha")
+    }
+    // the 14-word vocab makes 50-token bags nearly identical; use a wide
+    // vocab so "random pair" really means disjoint content
+    val r = new Prop.Rng(99)
+    def wideText(n: Int): String = Array.fill(n)("w" + r.int(0, 5000)).mkString(" ")
+    var tot = 0
+    for (_ <- 1 to 30)
+      tot += java.lang.Long.bitCount(Dedup.simhash64(wideText(50)) ^ Dedup.simhash64(wideText(50)))
+    val mean = tot / 30.0
+    assert(mean > 20 && mean < 44, s"random-pair mean hamming $mean")
+  }
+
+  test("hash64 is stable and spread") {
+    assert(Dedup.hash64("spark") == Dedup.hash64("spark"))
+    assert(Dedup.hash64("spark") != Dedup.hash64("sparl"))
+  }
+
+  test("fingerprint is order-sensitive (rolling, not bag-of-words)") {
+    assert(TextOps.fingerprint("a b c") != TextOps.fingerprint("c b a"))
+    assert(TextOps.fingerprint("a b c") == TextOps.fingerprint("a b c"))
+  }
+}
+
+class AnnSpec extends AnyFunSuite {
+
+  test("cosine: identical=1, orthogonal=0, opposite=-1") {
+    val a = Array(1.0, 0.0, 2.0)
+    assert(math.abs(Ann.cosine(a, a) - 1.0) < 1e-12)
+    assert(math.abs(Ann.cosine(Array(1.0, 0.0), Array(0.0, 5.0))) < 1e-12)
+    assert(math.abs(Ann.cosine(a, a.map(-_)) + 1.0) < 1e-12)
+  }
+
+  test("hyperplanes are deterministic and in [-1,1)") {
+    val p1 = Ann.hyperplanes(16, 8); val p2 = Ann.hyperplanes(16, 8)
+    assert(p1.flatten.toSeq == p2.flatten.toSeq)
+    assert(p1.flatten.forall(v => v >= -1.0 && v < 1.0))
+  }
+
+  test("signature: close vectors collide more than far ones (property)") {
+    val planes = Ann.hyperplanes(16, 16)
+    var nearSame = 0; var farSame = 0; var n = 0
+    forAllSeeded(100, seed = 5) { r =>
+      val v = Array.fill(16)(r.double(-1, 1))
+      val near = v.map(_ + r.double(-0.02, 0.02))
+      val far = Array.fill(16)(r.double(-1, 1))
+      val s = Ann.signature(v, planes)
+      nearSame += 16 - java.lang.Long.bitCount(s ^ Ann.signature(near, planes))
+      farSame += 16 - java.lang.Long.bitCount(s ^ Ann.signature(far, planes))
+      n += 1
+    }
+    assert(nearSame > farSame + n, s"near=$nearSame far=$farSame")
+  }
+}
