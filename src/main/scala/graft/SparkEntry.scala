@@ -62,7 +62,12 @@ object SparkEntry {
     // image pipeline (north_rule flagship; input synthesized deterministically)
     "q32_image_tile_pivot" -> ((s: SparkSession, _: String) => ImagePipeline.run(s, 2000L, 16)),
     "q33_image_validate" -> ((s: SparkSession, _: String) =>
-      Validate.summary(ImagePipeline.synthTable(s, 2000L, 16).toDF()))
+      Validate.summary(ImagePipeline.synthTable(s, 2000L, 16).toDF())),
+    // full reference classifier over a synthesized versions table (maps/diffs
+    // not DuckDB-hashable → rows-only; golden-tested in InteractionsSpec)
+    "q34_interactions_versions" -> ((s: SparkSession, _: String) =>
+      graft.ops.Interactions.classify(graft.ops.Interactions.synthVersions(s, 500).toDF())
+        .drop("a_a", "a_m", "a_d", "current_tags"))
   )
 
   private val tsS = "floor(epoch(ts))::BIGINT"

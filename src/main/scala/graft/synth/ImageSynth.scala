@@ -21,6 +21,12 @@ import javax.imageio.ImageIO
   */
 object ImageSynth {
 
+  // Disk-cached ImageIO streams (the default) are closed by the JDK's shared
+  // StreamCloser daemon, which races under 32-thread executor churn
+  // (FileCacheImageOutputStream.close NPEs, then every in-flight encode dies
+  // with "IOException: closed"). Memory-cached streams are also faster.
+  ImageIO.setUseCache(false)
+
   final case class ImageRow(image_id: String, bytes: Array[Byte], w: Int, h: Int,
                             fmt: String, caption: String, phash: Long)
 
