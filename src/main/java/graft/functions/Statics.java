@@ -1,0 +1,46 @@
+package graft.functions;
+
+/**
+ * Java-static façade over the Scala scalar functions, so generated
+ * whole-stage-codegen Java (janino) can call them with plain
+ * {@code graft.functions.Statics.foo(...)} syntax — no Scala MODULE$
+ * indirection inside the generated source.
+ */
+public final class Statics {
+  private Statics() {}
+
+  public static long seedOf(long i) {
+    return graft.synth.ImageSynth$.MODULE$.seedOf(i);
+  }
+
+  public static double geotagLon(long i) {
+    return (Double) graft.synth.Geotag$.MODULE$.of(seedOf(i))._1();
+  }
+
+  public static double geotagLat(long i) {
+    return (Double) graft.synth.Geotag$.MODULE$.of(seedOf(i))._2();
+  }
+
+  public static long metaUid(long i) {
+    return (Long) graft.synth.ImageSynth$.MODULE$.metaOf(seedOf(i))._1();
+  }
+
+  public static long metaDay(long i) {
+    return (Long) graft.synth.ImageSynth$.MODULE$.metaOf(seedOf(i))._3();
+  }
+
+  /** Team ordinal 0..3 (kll, msf, dcx, hot) — string resolved post-agg. */
+  public static int metaTeamId(long i) {
+    long seed = seedOf(i);
+    long m = graft.synth.ImageSynth$.MODULE$.mix(seed ^ 19L);
+    return (int) ((m & 0x7FFFFFFFL) % 4L);
+  }
+
+  public static long hexCell(double lat, double lon, int res) {
+    return graft.index.Hex$.MODULE$.latLngToCell(lat, lon, res);
+  }
+
+  public static long s2Cell(double lat, double lon, int level) {
+    return graft.index.S2Like$.MODULE$.cellIdAt(lat, lon, level);
+  }
+}

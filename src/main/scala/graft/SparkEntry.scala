@@ -67,7 +67,28 @@ object SparkEntry {
     // not DuckDB-hashable → rows-only; golden-tested in InteractionsSpec)
     "q34_interactions_versions" -> ((s: SparkSession, _: String) =>
       graft.ops.Interactions.classify(graft.ops.Interactions.synthVersions(s, 500).toDF())
-        .drop("a_a", "a_m", "a_d", "current_tags"))
+        .drop("a_a", "a_m", "a_d", "current_tags")),
+    // roster join with uid-over-handle precedence + per-contributor windows
+    "q35_roster_rollup" -> (graft.ops.Roster.rosterRollup _),
+    // exact centroid per user over the event point cloud (column algebra;
+    // the Aggregator variant is golden-tested in PipelineSpec)
+    "q36_centroid" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      SpatialQueries.eventPoints(s, d).groupBy(col("user_id")).agg(
+        count(lit(1)).as("n"),
+        floor(sum(floor(col("lon") * 1e6 + 0.5).cast("long")) / count(lit(1))).cast("long").as("c_lon_e6"),
+        floor(sum(floor(col("lat") * 1e6 + 0.5).cast("long")) / count(lit(1))).cast("long").as("c_lat_e6"))
+    }),
+    // changesets pipeline over the deterministic fixture (values pinned)
+    "q37_changesets" -> ((s: SparkSession, _: String) => {
+      import org.apache.spark.sql.functions._
+      graft.ops.Changesets.fixture(s).select(
+        col("cs_id"), col("uid"), col("user"), col("geom_type"), col("hot"),
+        size(col("hashtags")).as("n_hashtags"),
+        coalesce(col("hashtags")(0), lit("")).as("first_hashtag"),
+        col("ts"), col("num_changes"),
+        floor(log10(greatest(col("area_km2"), lit(0.001)))).cast("long").as("area_mag"))
+    })
   )
 
   private val tsS = "floor(epoch(ts))::BIGINT"
@@ -280,6 +301,19 @@ object SparkEntry {
          d AS (SELECT q.qid, v.vec_id, list_cosine_similarity(q.qe, v.e) AS c FROM v CROSS JOIN q),
          r AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rk FROM d)
          SELECT qid, vec_id, rk::INT AS rank FROM r WHERE rk <= 10""",
+    "q35_roster_rollup" -> graft.ops.Roster.rosterRollupOracle,
+    "q36_centroid" ->
+      s"""WITH p AS ($pts)
+         SELECT user_id, count(*)::BIGINT AS n,
+           floor(sum(floor(lon*1000000.0+0.5)::BIGINT)::DOUBLE / count(*))::BIGINT AS c_lon_e6,
+           floor(sum(floor(lat*1000000.0+0.5)::BIGINT)::DOUBLE / count(*))::BIGINT AS c_lat_e6
+         FROM p GROUP BY 1""",
+    "q37_changesets" ->
+      """SELECT * FROM (VALUES
+           (1::BIGINT, 7::BIGINT, 'alice', 'Polygon', true, 2, '#hotosm-task-123', 1579898055::BIGINT, 40, 2::BIGINT),
+           (2::BIGINT, 8::BIGINT, 'bob', 'Point', false, 0, '', 1579939200::BIGINT, 1, (-3)::BIGINT),
+           (4::BIGINT, 10::BIGINT, 'dave', 'Polygon', false, 0, '', 1580635800::BIGINT, 12, 2::BIGINT)
+         ) AS t(cs_id, uid, "user", geom_type, hot, n_hashtags, first_hashtag, ts, num_changes, area_mag)""",
     "q33_image_validate" ->
       """SELECT 2000::BIGINT AS n_rows, 2000::BIGINT AS n_pixels_ok,
          2000::BIGINT AS n_captions_ok, 2000::BIGINT AS n_phash_ok,

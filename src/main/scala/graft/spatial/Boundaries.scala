@@ -66,7 +66,25 @@ final class BoundaryIndex(val boundaries: Array[Boundary], gridN: Int = 64) exte
 
   /** First (lowest-id) boundary containing the point, or null. */
   def queryFirst(lon: Double, lat: Double): String = {
-    val hits = query(lon, lat)
-    if (hits.isEmpty) null else hits.min
+    val o = queryFirstOrdinal(lon, lat)
+    if (o < 0) null else boundaries(o).id
+  }
+
+  /** Ordinal of the containing boundary with the lowest id, or -1. Primitive
+    * return — usable from whole-stage-codegen without boxing. */
+  def queryFirstOrdinal(lon: Double, lat: Double): Int = {
+    if (lon < -180 || lon > 180 || lat < -90 || lat > 90) return -1
+    val x = math.min(gridN - 1, math.max(0, ((lon + 180.0) / cellW).toInt))
+    val y = math.min(gridN - 1, math.max(0, ((lat + 90.0) / cellH).toInt))
+    val cands = grid(y * gridN + x)
+    var best = -1
+    var i = 0
+    while (i < cands.length) {
+      val bi = cands(i)
+      val b = boundaries(bi)
+      if ((best < 0 || b.id < boundaries(best).id) && b.containsPoint(lon, lat)) best = bi
+      i += 1
+    }
+    best
   }
 }

@@ -38,7 +38,16 @@ object ImageSynth {
     z ^ (z >>> 31)
   }
 
-  def idOf(i: Long): String = f"img$i%08d"
+  def idOf(i: Long): String = {
+    // hot path at 10^7+ rows/s: avoid String.format (it allocates a Formatter
+    // per call and dominated the feature-derivation profile)
+    val sb = new java.lang.StringBuilder(11)
+    sb.append("img")
+    val digits = java.lang.Long.toString(i)
+    var pad = 8 - digits.length
+    while (pad > 0) { sb.append('0'); pad -= 1 }
+    sb.append(digits).toString
+  }
   def seedOf(i: Long): Long = mix(i * 0x100000001B3L + 7L)
 
   private val Sizes = Array(16, 32, 64)

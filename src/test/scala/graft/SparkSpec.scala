@@ -146,3 +146,29 @@ class CoreOpsSpec extends AnyFunSuite {
     assert(out == Seq(Some(200L), Some(201L), None))
   }
 }
+
+class FastPathSpec extends AnyFunSuite {
+  import graft.pipeline.ImagePipeline
+  import org.apache.spark.sql.functions._
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("codegen fast pipeline == typed Dataset pipeline, row for row") {
+    val fast = ImagePipeline.run(spark, 4000, 4).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSet
+    val typed = ImagePipeline.tileTeamPivot(ImagePipeline.pipJoin(
+        ImagePipeline.features(spark, 4000, 4), ImagePipeline.metroBoundaries))
+      .select(col("tile"), col("boundary_id"), col("kll_e"), col("msf_e"),
+        col("dcx_e"), col("hot_e"), col("team_sum_e"), col("n_users")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSet
+    assert(fast == typed)
+  }
+
+  test("fast features stay in one WholeStageCodegen span (no UDF barrier)") {
+    val plan = ImagePipeline.fastFeatures(spark, 100, 2).queryExecution.executedPlan.toString
+    // '*(1)' prefixes mark whole-stage-codegen stage 1 on every operator
+    assert(plan.linesIterator.filter(_.trim.nonEmpty).forall(_.contains("*(1)")), plan)
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
+  }
+}
