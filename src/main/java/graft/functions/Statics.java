@@ -43,4 +43,8 @@ public final class Statics {
   public static long s2Cell(double lat, double lon, int level) {
     return graft.index.S2Like$.MODULE$.cellIdAt(lat, lon, level);
   }
+
+  public static long quadCell(double lat, double lon, int zoom) {
+    return graft.index.Quadkey$.MODULE$.cellIdOf(lon, lat, zoom);
+  }
 }

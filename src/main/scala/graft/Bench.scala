@@ -34,7 +34,18 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus}""")
+
+    // headline metric (BASELINE.json): spatial-join + tile-assignment rows/s
+    // on the image table — measured live on the codegen pipeline
+    val nPipe = 100000000L
+    val tPipe = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      graft.pipeline.ImagePipeline.run(spark, nPipe, cpus.toInt * 4).count()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    val pipeRps = (nPipe / tPipe).round
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"pipeline_rows_per_sec":$pipeRps}""")
     spark.stop()
   }
 }

@@ -49,6 +49,7 @@ case class CellScalar(left: Expression, right: Expression, res: Int, fn: String)
   override protected def nullSafeEval(lat: Any, lon: Any): Any = fn match {
     case "hexCell" => Statics.hexCell(lat.asInstanceOf[Double], lon.asInstanceOf[Double], res)
     case "s2Cell" => Statics.s2Cell(lat.asInstanceOf[Double], lon.asInstanceOf[Double], res)
+    case "quadCell" => Statics.quadCell(lat.asInstanceOf[Double], lon.asInstanceOf[Double], res)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -62,7 +63,8 @@ case class CellScalar(left: Expression, right: Expression, res: Int, fn: String)
   * index ships with the serialized plan and is referenced from generated code
   * via addReferenceObj — the broadcast-R-tree-per-partition pattern without
   * leaving codegen. */
-case class PipOrdinal(left: Expression, right: Expression, index: BoundaryIndex)
+case class PipOrdinal(left: Expression, right: Expression, index: BoundaryIndex,
+                      prefiltered: Boolean = false)
     extends BinaryExpression with Serializable {
   override def dataType: DataType = IntegerType
   override def prettyName: String = "pip_ordinal"
@@ -91,6 +93,8 @@ object SeedExprs {
     co(CellScalar(ex(lat), ex(lon), res, "hexCell"))
   def s2Cell(lat: Column, lon: Column, level: Int): Column =
     co(CellScalar(ex(lat), ex(lon), level, "s2Cell"))
+  def quadCell(lat: Column, lon: Column, zoom: Int): Column =
+    co(CellScalar(ex(lat), ex(lon), zoom, "quadCell"))
   def pipOrdinal(lon: Column, lat: Column, index: BoundaryIndex): Column =
     co(PipOrdinal(ex(lon), ex(lat), index))
 }

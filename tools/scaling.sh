@@ -5,7 +5,7 @@
 # Writes BENCH.md. Usage: tools/scaling.sh [N] [nFeat] [nImg]
 set -euo pipefail
 cd "$(dirname "$0")/.."
-N=${1:-8}; NFEAT=${2:-10000000}; NIMG=${3:-400000}
+N=${1:-8}; NFEAT=${2:-1200000000}; NIMG=${3:-800000}
 N4=$((N * 4))
 
 run() { # cpus cpulist
