@@ -24,8 +24,12 @@ object Multimodal {
   final case class Thumb(image_id: String, bytes: Array[Byte], w: Int, h: Int)
   final case class Frame(media_id: String, frame_idx: Int, ts_ms: Long, phash: Long)
 
-  private def decode(bytes: Array[Byte]): BufferedImage =
-    ImageIO.read(new ByteArrayInputStream(bytes))
+  // format-sniffing decode for opaque media (per-thread PNG/JPEG attempt via
+  // the contended-lock-free path; magic-byte dispatch)
+  private def decode(bytes: Array[Byte]): BufferedImage = {
+    val fmt = if (bytes.length > 3 && (bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8) "jpg" else "png"
+    graft.pipeline.Validate.decode(bytes, fmt)
+  }
 
   /** Real decode + feature extraction (mean luma, a cheap gradient edge
     * score, average-hash) — one pass over pixels, scan-side, no shuffle. */

@@ -15,6 +15,24 @@ import graft.synth.ImageSynth
   */
 object Validate {
 
+  // thread-local cached readers: ImageIO.read's registry sniffing serializes
+  // threads on the IIORegistry lock (see ImageSynth.encode note)
+  private val jpegReader = ThreadLocal.withInitial[javax.imageio.ImageReader](() =>
+    ImageIO.getImageReadersByFormatName("jpeg").next())
+  private val pngReader = ThreadLocal.withInitial[javax.imageio.ImageReader](() =>
+    ImageIO.getImageReadersByFormatName("png").next())
+
+  private val inStream = ThreadLocal.withInitial[graft.synth.ByteArrayImageInputStream](() =>
+    new graft.synth.ByteArrayImageInputStream())
+
+  def decode(bytes: Array[Byte], fmt: String): java.awt.image.BufferedImage = {
+    val reader = if (fmt == "jpg") jpegReader.get() else pngReader.get()
+    // reused per-thread Disposer/finalizer-free stream (graft.synth.ByteStreams)
+    val iis = inStream.get().setBytes(bytes)
+    reader.setInput(iis, true, true)
+    reader.read(0)
+  }
+
   final case class Verdict(image_id: String, fmt: String, psnr: Double,
                            pixels_ok: Boolean, caption_ok: Boolean, phash_ok: Boolean)
 
@@ -52,7 +70,7 @@ object Validate {
         it.map { case (id, bytes, fmt, caption, phash) =>
           val i = id.stripPrefix("img").toLong
           val seed = ImageSynth.seedOf(i)
-          val decoded = ImageIO.read(new ByteArrayInputStream(bytes))
+          val decoded = decode(bytes, fmt)
           val reference = ImageSynth.render(seed, decoded.getWidth, decoded.getHeight)
           val p = psnr(decoded, reference)
           val pixelsOk = if (fmt == "png") p.isPosInfinity else p >= JpgPsnrFloor

@@ -1,7 +1,6 @@
 package graft.synth
 
 import java.awt.image.BufferedImage
-import java.io.ByteArrayOutputStream
 import javax.imageio.ImageIO
 
 /** Deterministic synthesis of the graft's input table
@@ -55,11 +54,22 @@ object ImageSynth {
   private val CaptionNouns = Array("building", "highway", "landuse", "amenity", "boundary", "waterway")
   private val Teams = Array("kll", "msf", "dcx", "hot")
 
+  // per-thread canvas pool: BufferedImage construction allocates rasters and
+  // (via finalizable internals) stresses GC/Finalizer at 32 threads; render
+  // output is never retained by callers beyond the next render on the same
+  // thread, so one canvas per (w,h) per thread suffices
+  private val canvasPool = ThreadLocal.withInitial[java.util.HashMap[Integer, BufferedImage]](() =>
+    new java.util.HashMap[Integer, BufferedImage]())
+
   /** Pixel-level render: a deterministic pattern of 8×8 constant-color
     * blocks (aligned with JPEG's DCT grid, so the lossy roundtrip stays well
-    * above the 40 dB PSNR bar while the content remains seed-unique). */
+    * above the 40 dB PSNR bar while the content remains seed-unique).
+    * NOTE: returns a per-thread REUSED canvas — do not retain across calls. */
   def render(seed: Long, w: Int, h: Int): BufferedImage = {
-    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val pool = canvasPool.get()
+    val key = Integer.valueOf((w << 16) | h)
+    var img = pool.get(key)
+    if (img == null) { img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB); pool.put(key, img) }
     var y = 0
     while (y < h) {
       var x = 0
@@ -109,20 +119,36 @@ object ImageSynth {
     h
   }
 
+  // ImageIO's registry (IIORegistry) is a synchronized singleton: per-call
+  // getImageWritersByFormatName / ImageIO.write serialize all 32 executor
+  // threads on one lock. Cache one codec instance per thread (the reused-
+  // codec-per-partition pattern) — writers/readers are NOT thread-safe but
+  // are reusable within a thread.
+  private val jpegWriter = ThreadLocal.withInitial[javax.imageio.ImageWriter](() =>
+    ImageIO.getImageWritersByFormatName("jpeg").next())
+  private val pngWriter = ThreadLocal.withInitial[javax.imageio.ImageWriter](() =>
+    ImageIO.getImageWritersByFormatName("png").next())
+  private val outStream = ThreadLocal.withInitial[ByteArrayImageOutputStream](() =>
+    new ByteArrayImageOutputStream())
+
   def encode(img: BufferedImage, fmt: String): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
+    // reused per-thread Disposer/finalizer-free stream (see ByteStreams)
+    val ios = outStream.get().rewind()
     if (fmt == "jpg") {
-      // explicit high quality so the lossy roundtrip clears the PSNR>=40dB bar
-      val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+      val writer = jpegWriter.get()
       val params = writer.getDefaultWriteParam
+      // explicit high quality so the lossy roundtrip clears the PSNR>=40dB bar
       params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
       params.setCompressionQuality(0.85f)
-      val ios = ImageIO.createImageOutputStream(bos)
       writer.setOutput(ios)
       writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
-      writer.dispose(); ios.close()
-    } else ImageIO.write(img, fmt, bos)
-    bos.toByteArray
+    } else {
+      val writer = pngWriter.get()
+      writer.setOutput(ios)
+      writer.write(img)
+    }
+    ios.flush()
+    ios.toByteArray
   }
 
   def captionOf(seed: Long, uid: Long, team: String, day: Long): String = {
