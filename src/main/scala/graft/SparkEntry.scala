@@ -85,7 +85,7 @@ object SparkEntry {
       graft.ops.Changesets.fixture(s).select(
         col("cs_id"), col("uid"), col("user"), col("geom_type"), col("hot"),
         size(col("hashtags")).as("n_hashtags"),
-        coalesce(col("hashtags")(0), lit("")).as("first_hashtag"),
+        coalesce(get(col("hashtags"), lit(0)), lit("")).as("first_hashtag"),
         col("ts"), col("num_changes"),
         floor(log10(greatest(col("area_km2"), lit(0.001)))).cast("long").as("area_mag"))
     })
