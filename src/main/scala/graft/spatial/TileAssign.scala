@@ -49,6 +49,29 @@ object TileAssign {
       .repartition(numPartitions, col(cellCol), col("__salt"))
       .drop("__salt")
 
+  /** Multi-zoom emission — the reference's objects layer spans z12-16 and
+    * the summary layers z1-12 (util/README.md:13-18): each feature is
+    * assigned its cell at every requested zoom in one pass (explode of the
+    * parent chain; parents are bit-shifts of the z-max cell, no re-encode). */
+  def withTileMultiZoom(df: DataFrame, lonCol: String, latCol: String,
+                        zooms: Seq[Int]): DataFrame = {
+    val zMax = zooms.max
+    val base = df.withColumn("__cell_zmax",
+      Quadkey.cellIdCol(col(lonCol), col(latCol), zMax))
+    // parent at z: drop (zMax-z) low bits of x and y
+    val cells = zooms.map { z =>
+      val shift = zMax - z
+      struct(lit(z).as("zoom"),
+        ((lit(z.toLong) * lit(1L << 58)) +
+          shiftleft(shiftright(col("__cell_zmax").bitwiseAND(lit((1L << 58) - 1)), 29 + shift), 29) +
+          shiftright(col("__cell_zmax").bitwiseAND(lit((1L << 29) - 1)), shift)).as("cell"))
+    }
+    base.withColumn("__zc", explode(array(cells: _*)))
+      .withColumn("zoom", col("__zc.zoom"))
+      .withColumn("cell_id", col("__zc.cell"))
+      .drop("__zc", "__cell_zmax")
+  }
+
   /** Per-tile rollup over an integer grid (gate-friendly exact variant):
     * tiles are an n×n equirectangular grid; emits per-tile counts +
     * per-class conditional sums — the reference's tilePointSummaries shape

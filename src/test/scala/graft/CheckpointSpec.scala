@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.pipeline.Checkpoint
+import graft.spatial.TileAssign
+import graft.pipeline.ImagePipeline
+import graft.index.Quadkey
+
+class CheckpointSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def rmrf(d: String): Unit = {
+    val p = java.nio.file.Paths.get(d)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+  }
+
+  test("kill-after-K resume: identical manifests, no double counting") {
+    val dirA = "/tmp/ckpt_spec_resume"; val dirB = "/tmp/ckpt_spec_fresh"
+    rmrf(dirA); rmrf(dirB)
+    val n = 600L; val buckets = 4
+    val r1 = Checkpoint.run(spark, n, dirA, buckets, parts = 4, maxBuckets = 2)
+    assert(r1.size == 2)
+    val r2 = Checkpoint.run(spark, n, dirA, buckets, parts = 4)
+    assert(r2.size == 2)
+    assert(Checkpoint.run(spark, n, dirA, buckets, parts = 4).isEmpty) // no-op
+    val fresh = Checkpoint.run(spark, n, dirB, buckets, parts = 4)
+    assert(fresh.size == buckets)
+    val a = (r1 ++ r2).map(m => m.bucket -> (m.rowCount, m.phashDigest)).toMap
+    val b = fresh.map(m => m.bucket -> (m.rowCount, m.phashDigest)).toMap
+    assert(a == b)
+    assert(a.values.map(_._1).sum == n)
+    // every committed bucket also passed validation
+    (r1 ++ r2).foreach { m =>
+      assert(m.nPixelsOk == m.rowCount && m.nCaptionsOk == m.rowCount, m.toString)
+    }
+  }
+}
+
+class SkewSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("salted repartition flattens the metro hot cells") {
+    import org.apache.spark.sql.Row
+    val feats = ImagePipeline.fastFeatures(spark, 6000, 4)
+      .withColumn("z8", graft.index.Quadkey.cellIdCol(col("lon"), col("lat"), 8))
+    def maxPartitionFraction(df: org.apache.spark.sql.DataFrame): Double = {
+      val sizes = df.rdd.mapPartitions(it => Iterator(it.size)).collect()
+      sizes.max.toDouble / sizes.sum
+    }
+    val unsalted = feats.repartition(16, col("z8"))
+    val salted = TileAssign.repartitionByCellSalted(feats, "z8", 16, salt = 8)
+    val uf = maxPartitionFraction(unsalted)
+    val sf = maxPartitionFraction(salted)
+    // 70% of rows sit in 3 metros → hashing whole cells leaves a hot
+    // partition; salting must spread it close to uniform (1/16 = 0.0625)
+    assert(sf < uf, s"salted=$sf unsalted=$uf")
+    assert(sf < 0.15, s"salted max-partition fraction $sf")
+  }
+
+  test("multi-zoom cells agree with direct encoding at every zoom") {
+    val zooms = Seq(8, 10, 12)
+    val out = TileAssign.withTileMultiZoom(
+      ImagePipeline.fastFeatures(spark, 300, 2), "lon", "lat", zooms).collect()
+    assert(out.length == 300 * zooms.size)
+    out.foreach { r =>
+      val lon = r.getAs[Double]("lon"); val lat = r.getAs[Double]("lat")
+      val z = r.getAs[Int]("zoom"); val cell = r.getAs[Long]("cell_id")
+      assert(cell == Quadkey.cellIdOf(lon, lat, z), s"z=$z ($lon,$lat)")
+    }
+  }
+}
