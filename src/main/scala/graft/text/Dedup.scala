@@ -47,31 +47,33 @@ object Dedup {
     h
   }
 
-  private val P = 2305843009213693951L // 2^61 - 1 Mersenne prime
+  private val P = 2147483647L // 2^31 - 1 Mersenne prime: a*x fits in a long
 
-  /** Deterministic affine permutation family h_i(x) = (a_i x + b_i) mod p. */
+  /** Deterministic affine permutation family h_i(x) = (a_i x + b_i) mod p —
+    * 31-bit arithmetic so the inner loop is pure long multiplication (the
+    * naive 61-bit variant needed a BigInt per step: 16M allocations for a
+    * 5k-doc batch). Coefficients precomputed once per signature call. */
   def minhashSignature(sh: Array[String], k: Int): Array[Long] = {
     val sig = Array.fill(k)(Long.MaxValue)
+    val as = new Array[Long](k); val bs = new Array[Long](k)
+    var j = 0
+    while (j < k) {
+      as(j) = 1L + ((0x9E3779B97F4A7C15L * (j + 1)) & Long.MaxValue) % (P - 1)
+      bs(j) = ((0xC2B2AE3D27D4EB4FL * (j + 7)) & Long.MaxValue) % P
+      j += 1
+    }
     var i = 0
     while (i < sh.length) {
       val x = (hash64(sh(i)) & Long.MaxValue) % P
-      var j = 0
+      j = 0
       while (j < k) {
-        val a = 0x9E3779B97F4A7C15L * (j + 1) & Long.MaxValue
-        val b = 0xC2B2AE3D27D4EB4FL * (j + 7) & Long.MaxValue
-        val v = (mulmod(a % P, x) + b % P) % P
+        val v = (as(j) * x + bs(j)) % P
         if (v < sig(j)) sig(j) = v
         j += 1
       }
       i += 1
     }
     sig
-  }
-
-  /** (a*b) mod P without overflow (P < 2^61 so 128-bit via Math.multiplyHigh). */
-  private def mulmod(a: Long, b: Long): Long = {
-    val bi = (BigInt(a) * BigInt(b)) % BigInt(P)
-    bi.toLong
   }
 
   /** MinHash + LSH near-dup candidate pairs: signature (k hashes) → bands of
@@ -84,24 +86,22 @@ object Dedup {
     val sigUdf = udf { (text: String) => minhashSignature(shingles(text, w), k) }
     val signed = table(spark, dir, "documents")
       .select(col("doc_id"), sigUdf(col("text")).as("sig"))
-      .cache()
-    // band → bucket
-    val banded = signed.select(col("doc_id"), posexplode(
+    // band → bucket, carrying the signature so verification needs no re-join
+    // (signatures are k longs — tiny next to the documents they replace)
+    val banded = signed.select(col("doc_id"), col("sig"), posexplode(
       array((0 until bands).map(b =>
         hash((rowsPerBand * b until rowsPerBand * (b + 1)).map(i => col("sig")(i)): _*)): _*)))
-      .toDF("doc_id", "band", "bucket")
-    val pairs = banded.as("l").join(banded.as("r"),
+      .toDF("doc_id", "sig", "band", "bucket")
+    // bucket-equi self-join; estimated Jaccard = matching-minhash fraction,
+    // computed inline; distinct collapses pairs colliding in several bands
+    banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
           col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b")).distinct()
-    // verify with the full signature (estimated Jaccard = matching fraction)
-    val est = pairs
-      .join(signed.withColumnRenamed("doc_id", "a").withColumnRenamed("sig", "sig_a"), "a")
-      .join(signed.withColumnRenamed("doc_id", "b").withColumnRenamed("sig", "sig_b"), "b")
-      .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => (x === y).cast("int")), v => v === 1))
-          .cast("double") / lit(k.toDouble))
-    est.filter(col("est_jaccard") >= threshold).select(col("a"), col("b"), col("est_jaccard"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
+        (size(filter(zip_with(col("l.sig"), col("r.sig"), (x, y) => (x === y).cast("int")),
+          v => v === 1)).cast("double") / lit(k.toDouble)).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .distinct()
   }
 
   /** SimHash (64-bit) near-dup: per-token hash bit voting → fingerprint;
