@@ -36,6 +36,31 @@ object Checkpoint {
   def committed(outDir: String, buckets: Int): Set[Int] =
     (0 until buckets).filter(b => Files.exists(manifestPath(outDir, b))).toSet
 
+  /** Table-level snapshot (the Iceberg-snapshot analog): aggregates every
+    * bucket manifest into one JSON carrying total lineage — written only when
+    * ALL buckets are committed, so its presence certifies a complete,
+    * validated table. */
+  def writeSnapshot(outDir: String, buckets: Int): Option[String] = {
+    val done = committed(outDir, buckets)
+    if (done.size != buckets) return None
+    val ms = (0 until buckets).map { b =>
+      java.nio.file.Files.readString(manifestPath(outDir, b))
+    }
+    def sumOf(field: String): Long = ms.map { j =>
+      s""""$field":(-?\\d+)""".r.findFirstMatchIn(j).get.group(1).toLong
+    }.sum
+    val json =
+      s"""{"buckets":$buckets,"rowCount":${sumOf("rowCount")},
+         |"phashDigest":${ms.map(j => """"phashDigest":(-?\d+)""".r.findFirstMatchIn(j).get.group(1).toLong).reduce(_ ^ _)},
+         |"nPixelsOk":${sumOf("nPixelsOk")},"nCaptionsOk":${sumOf("nCaptionsOk")},
+         |"manifests":[${(0 until buckets).map(b => s"\"_commits/bucket-$b.json\"").mkString(",")}]}"""
+        .stripMargin.replace("\n", "")
+    val tmp = Paths.get(s"$outDir/.snapshot.json.tmp")
+    Files.writeString(tmp, json)
+    Files.move(tmp, Paths.get(s"$outDir/snapshot.json"), StandardCopyOption.ATOMIC_MOVE)
+    Some(json)
+  }
+
   /** Process all uncommitted buckets; optionally stop after `maxBuckets`
     * (the kill-after-K test hook). Each bucket: synth its rows → validate →
     * write parquet → commit manifest atomically (tmp + rename). */

@@ -74,3 +74,52 @@ class SkewSpec extends AnyFunSuite {
     }
   }
 }
+
+class StoredTableSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("stored-table pipeline: bytes column pruned from the scan, results match fast path") {
+    val dir = "/tmp/stored_table_spec"
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    ImagePipeline.synthTable(spark, 800, 4).write.parquet(dir)
+
+    val stored = spark.read.parquet(dir)
+    val feats = ImagePipeline.featuresFromTable(stored)
+    // THE column-pruning claim: the 100TB of pixels must stay at the scan
+    val plan = feats.queryExecution.executedPlan.toString
+    val readSchema = "ReadSchema: ([^\\n]*)".r.findFirstMatchIn(plan).map(_.group(1))
+      .getOrElse(plan.linesIterator.find(_.contains("ReadSchema")).getOrElse(""))
+    assert(!plan.contains("bytes:binary") || readSchema.isEmpty ||
+      !readSchema.contains("bytes"), s"bytes not pruned: $plan")
+
+    val viaTable = ImagePipeline.tileTeamPivot(
+      ImagePipeline.pipJoin(feats, ImagePipeline.metroBoundaries)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(6))).toSet
+    val viaFast = ImagePipeline.run(spark, 800, 4).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(6))).toSet
+    assert(viaTable == viaFast)
+  }
+
+  test("snapshot.json appears only when every bucket is committed") {
+    val dir = "/tmp/ckpt_snapshot_spec"
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    Checkpoint.run(spark, 400L, dir, 4, parts = 4, maxBuckets = 2)
+    assert(Checkpoint.writeSnapshot(dir, 4).isEmpty) // incomplete -> no snapshot
+    Checkpoint.run(spark, 400L, dir, 4, parts = 4)
+    val snap = Checkpoint.writeSnapshot(dir, 4)
+    assert(snap.isDefined)
+    assert(snap.get.contains("\"rowCount\":400"))
+    assert(snap.get.contains("\"nPixelsOk\":400"))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/snapshot.json")))
+  }
+}
