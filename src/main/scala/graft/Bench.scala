@@ -21,19 +21,26 @@ object Bench {
       appName = "graft-bench")
     spark.sparkContext.setLogLevel("WARN")
 
-    // warm-up (ICU clinit, codegen, shuffle infra) — untimed
+    // warm-up (ICU clinit, codegen, shuffle infra) — untimed. The explicit
+    // lower()+string-compare forces CollationAwareUTF8String.<clinit> even if
+    // a warm-up query fails before its first collation-aware comparison.
+    import org.apache.spark.sql.functions.{lit, lower}
+    spark.range(1).select(lower(lit("WarmUp")) === lit("warmup")).count()
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
 
+    // a failed query is recorded as -1.0 (never a normal-looking duration) and
+    // named in `errors`, so the bench JSON distinguishes failure from slowness
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val errs = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }.mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
 
     // headline metric (BASELINE.json): spatial-join + tile-assignment rows/s
     // on the image table — measured live on the codegen pipeline
@@ -45,7 +52,7 @@ object Bench {
     }.min
     val pipeRps = (nPipe / tPipe).round
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"pipeline_rows_per_sec":$pipeRps}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","cpus":$cpus,"pipeline_rows_per_sec":$pipeRps}""")
     spark.stop()
   }
 }

@@ -96,8 +96,15 @@ object Checkpoint {
         sum(when(col("pixels_ok"), 1L).otherwise(0L)),
         sum(when(col("caption_ok"), 1L).otherwise(0L))).head()
 
-      val m = Manifest(b, stats.getLong(0), stats.getLong(1), stats.getLong(2),
-        stats.getLong(3), vstats.getLong(0), vstats.getLong(1))
+      // zero-row bucket (possible when n is small vs buckets): min/max/bit_xor
+      // aggregate to null — commit an empty manifest with sentinel lineage
+      // instead of NPEing the whole run
+      val m =
+        if (stats.isNullAt(0))
+          Manifest(b, Long.MaxValue, Long.MinValue, 0L, 0L, 0L, 0L)
+        else Manifest(b, stats.getLong(0), stats.getLong(1), stats.getLong(2),
+          stats.getLong(3), if (vstats.isNullAt(0)) 0L else vstats.getLong(0),
+          if (vstats.isNullAt(1)) 0L else vstats.getLong(1))
       val json =
         s"""{"bucket":${m.bucket},"cellMin":${m.cellMin},"cellMax":${m.cellMax},
            |"rowCount":${m.rowCount},"phashDigest":${m.phashDigest},

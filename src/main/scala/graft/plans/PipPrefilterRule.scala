@@ -56,6 +56,10 @@ object PipPrefilterRule extends Rule[LogicalPlan] {
   }
 
   private def tilesOf(p: PipOrdinal): Option[Seq[Long]] = {
+    // an antimeridian-crossing bbox (minLon > maxLon) would yield an EMPTY
+    // x-range and silently drop every point of that boundary — an optimizer
+    // rule must never change results, so bail out of the rewrite entirely
+    if (p.index.boundaries.exists(b => b.minLon > b.maxLon || b.minLat > b.maxLat)) return None
     val tiles = p.index.boundaries.toSeq.flatMap { b =>
       val x0 = Quadkey.tileX(b.minLon, PrefilterZoom); val x1 = Quadkey.tileX(b.maxLon, PrefilterZoom)
       val y0 = Quadkey.tileY(b.maxLat, PrefilterZoom); val y1 = Quadkey.tileY(b.minLat, PrefilterZoom)

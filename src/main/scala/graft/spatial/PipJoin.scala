@@ -30,16 +30,23 @@ object PipJoin {
     val spark = points.sparkSession
     val bcIndex = spark.sparkContext.broadcast(new BoundaryIndex(boundaries.toArray))
 
-    // coarse prefilter: set of z8 tiles intersecting any boundary bbox
-    val tiles: Set[Long] = boundaries.flatMap { b =>
-      val x0 = Quadkey.tileX(b.minLon, PrefilterZoom); val x1 = Quadkey.tileX(b.maxLon, PrefilterZoom)
-      val y0 = Quadkey.tileY(b.maxLat, PrefilterZoom); val y1 = Quadkey.tileY(b.minLat, PrefilterZoom)
-      for (x <- x0 to x1; y <- y0 to y1) yield Quadkey.cellId(x, y, PrefilterZoom)
-    }.toSet
+    // coarse prefilter: set of z6 tiles intersecting any boundary bbox.
+    // A degenerate bbox (minLon > maxLon — an antimeridian-crossing ring built
+    // outside the Boundary constructor) would make the x-range EMPTY and the
+    // prefilter would silently drop that boundary's points: skip the prefilter
+    // instead (correctness first; the exact test still runs).
+    val crossesAntimeridian = boundaries.exists(b => b.minLon > b.maxLon || b.minLat > b.maxLat)
+    val tiles: Set[Long] =
+      if (crossesAntimeridian) Set.empty
+      else boundaries.flatMap { b =>
+        val x0 = Quadkey.tileX(b.minLon, PrefilterZoom); val x1 = Quadkey.tileX(b.maxLon, PrefilterZoom)
+        val y0 = Quadkey.tileY(b.maxLat, PrefilterZoom); val y1 = Quadkey.tileY(b.minLat, PrefilterZoom)
+        for (x <- x0 to x1; y <- y0 to y1) yield Quadkey.cellId(x, y, PrefilterZoom)
+      }.toSet
 
     val cellCol = Quadkey.cellIdCol(col(lonCol), col(latCol), PrefilterZoom)
     val prefiltered =
-      if (tiles.size <= 4096) points.filter(cellCol.isInCollection(tiles))
+      if (!crossesAntimeridian && tiles.size <= 4096) points.filter(cellCol.isInCollection(tiles))
       else points // boundary set covers too much area for an IN-list; go straight to exact
 
     val pip = udf { (lon: Double, lat: Double) => bcIndex.value.queryFirst(lon, lat) }

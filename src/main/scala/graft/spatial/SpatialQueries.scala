@@ -1,6 +1,6 @@
 package graft.spatial
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Session.table
 import graft.geo.Geo
@@ -61,8 +61,34 @@ object SpatialQueries {
     Knn.knn(eventPoints(spark, dir), knnQueries, k = 5,
       idCol = "event_id", lonCol = "lon", latCol = "lat", res = 3)
 
+  /** [[Geo.haversineKm]] as a pure Column expression — identical FP operation
+    * order (so results match the Scala fn bit-for-bit via java.lang.Math) but
+    * stays inside whole-stage codegen instead of breaking it with a UDF. */
+  def haversineKmCol(la1: Column, lo1: Column, la2: Column, lo2: Column): Column = {
+    val sLat = sin(radians(la2 - la1) / 2)
+    val sLon = sin(radians(lo2 - lo1) / 2)
+    val a = sLat * sLat + cos(radians(la1)) * cos(radians(la2)) * sLon * sLon
+    lit(2.0 * Geo.EarthRadiusKm) * asin(least(lit(1.0), sqrt(a)))
+  }
+
+  /** [[Geo.bboxAreaKm2]] as a pure Column expression: the 5-point bbox ring's
+    * spherical shoelace unrolled in the exact term/addition order of
+    * [[Geo.sphericalRingAreaM2]] (zero terms included, so FP results match
+    * the scalar fn bit-for-bit). */
+  def bboxAreaKm2Col(minLon: Column, minLat: Column, maxLon: Column, maxLat: Column): Column = {
+    def term(lo1: Column, la1: Column, lo2: Column, la2: Column): Column =
+      (radians(lo2) - radians(lo1)) * (lit(2.0) + sin(radians(la1)) + sin(radians(la2)))
+    val total = term(minLon, minLat, maxLon, minLat) +
+      term(maxLon, minLat, maxLon, maxLat) +
+      term(maxLon, maxLat, minLon, maxLat) +
+      term(minLon, maxLat, minLon, minLat) +
+      term(minLon, minLat, minLon, minLat)
+    abs(total * lit(Geo.TurfRadiusM) * lit(Geo.TurfRadiusM) / lit(2.0)) / lit(1e6)
+  }
+
   /** X8: haversine track length per user (consecutive points by ts) —
-    * rounded to 6 dp post-aggregation for oracle stability. */
+    * rounded to 6 dp post-aggregation for oracle stability. Pure Column
+    * algebra (no UDF): the whole window→distance→agg pipeline codegens. */
   def haversineTracks(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("event_id"))
@@ -70,10 +96,7 @@ object SpatialQueries {
       .withColumn("plon", lag(col("lon"), 1).over(w))
       .withColumn("plat", lag(col("lat"), 1).over(w))
       .filter(col("plon").isNotNull)
-    val hav = udf { (la1: Double, lo1: Double, la2: Double, lo2: Double) =>
-      Geo.haversineKm(la1, lo1, la2, lo2)
-    }
-    pts.withColumn("seg_km", hav(col("plat"), col("plon"), col("lat"), col("lon")))
+    pts.withColumn("seg_km", haversineKmCol(col("plat"), col("plon"), col("lat"), col("lon")))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_segs"),
         round(sum(floor(col("seg_km") * 1000.0).cast("long")) / 1000.0, 3).as("track_km"))
@@ -82,14 +105,11 @@ object SpatialQueries {
   /** X11: per-user bbox + spherical area class (exact integer-bucketed output:
     * area bucketed to powers of ten so FP noise cannot flip the hash). */
   def bboxAreas(spark: SparkSession, dir: String): DataFrame = {
-    val area = udf { (w: Double, s: Double, e: Double, n: Double) =>
-      Geo.bboxAreaKm2(w, s, e, n)
-    }
     eventPoints(spark, dir)
       .groupBy(col("user_id"))
       .agg(min(col("lon")).as("min_lon"), max(col("lon")).as("max_lon"),
         min(col("lat")).as("min_lat"), max(col("lat")).as("max_lat"))
-      .withColumn("area_km2", area(col("min_lon"), col("min_lat"), col("max_lon"), col("max_lat")))
+      .withColumn("area_km2", bboxAreaKm2Col(col("min_lon"), col("min_lat"), col("max_lon"), col("max_lat")))
       .select(col("user_id"),
         floor(col("min_lon") * 1e6 + 0.5).cast("long").as("min_lon_e6"),
         floor(col("max_lon") * 1e6 + 0.5).cast("long").as("max_lon_e6"),

@@ -122,10 +122,15 @@ object Dedup {
     out
   }
 
-  def simhashPairs(spark: SparkSession, dir: String, maxHam: Int = 8): DataFrame = {
+  def simhashPairs(spark: SparkSession, dir: String, maxHam: Int = 3): DataFrame = {
     val sh = udf(simhash64 _)
     val df = table(spark, dir, "documents").select(col("doc_id"), sh(col("text")).as("sh"))
-    // pigeonhole: two docs within hamming 8 share at least one identical 16-bit segment... (4 segs)
+    // pigeonhole: with 4 disjoint 16-bit segments, two fingerprints within
+    // hamming distance 3 MUST agree on at least one whole segment (3 differing
+    // bits can dirty at most 3 of the 4). The guarantee is maxHam <= segs-1,
+    // so the default is 3 — callers wanting a larger radius must raise the
+    // segment count accordingly or the join silently under-reports.
+    require(maxHam <= 3, s"4-segment pigeonhole join only guarantees hamming<=3, got maxHam=$maxHam")
     val segs = df.select(col("doc_id"), col("sh"), posexplode(array(
       (0 until 4).map(s => (shiftright(col("sh"), s * 16) % 65536).cast("long")): _*)))
       .toDF("doc_id", "sh", "seg_idx", "seg")

@@ -104,6 +104,39 @@ class KnnSparkSpec extends AnyFunSuite {
     }.toSet
     assert(got == want)
   }
+
+  test("kNN scans the point table at most twice (density pass + top-k pass)") {
+    import spark.implicits._
+    val r = new Prop.Rng(33)
+    val pts = (0L until 2000L).map(i => (i, r.double(-60, 60), r.double(-40, 40)))
+    val df = pts.toDF("id", "lon", "lat")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // collect the result INSIDE the listener window; the final small toDF +
+      // window runs on driver-local rows (one job)
+      Knn.knn(df, Seq(Knn.QueryPoint(1, 0, 0), Knn.QueryPoint(2, -50, 20)), k = 5, res = 3).collect()
+      Thread.sleep(500) // let the listener bus drain (no public waitUntilEmpty)
+      // density pass + top-k pass + tiny local-result job = 3 jobs ceiling;
+      // the point TABLE itself is only read by the first two
+      assert(jobs.get() <= 3, s"expected <=3 jobs (2 table scans), saw ${jobs.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("under-dense query (fewer than k points anywhere near) falls back to exact brute force") {
+    import spark.implicits._
+    // 3 points total near (0,0); query asks for k=5 -> density pass can never
+    // certify a ring; the logged brute-force fallback must still return the
+    // exact 3 available neighbors ranked 1..3
+    val df = Seq((1L, 0.1, 0.1), (2L, 0.2, -0.1), (3L, -0.3, 0.2)).toDF("id", "lon", "lat")
+    val got = Knn.knn(df, Seq(Knn.QueryPoint(9, 0, 0)), k = 5, res = 3)
+      .collect().map(row => (row.getLong(0), row.getLong(1), row.getInt(2))).toSet
+    assert(got == Set((9L, 1L, 1), (9L, 2L, 2), (9L, 3L, 3)))
+  }
 }
 
 class CoreOpsSpec extends AnyFunSuite {
