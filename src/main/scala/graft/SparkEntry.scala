@@ -301,6 +301,17 @@ object SparkEntry {
          d AS (SELECT q.qid, v.vec_id, list_cosine_similarity(q.qe, v.e) AS c FROM v CROSS JOIN q),
          r AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rk FROM d)
          SELECT qid, vec_id, rk::INT AS rank FROM r WHERE rk <= 10""",
+    // sketch queries verified by a REAL oracle: OracleSql reproduces the
+    // engine's from-scratch 64-bit hashing (FNV-1a, rotl, splitmix64) in
+    // DuckDB via wrap-around 32-bit-half multiplication
+    "q28_simhash" ->
+      s"""WITH ${OracleSql.simhashCte},
+         p AS (SELECT l.doc_id AS a, r.doc_id AS b, bit_count(xor(l.sh, r.sh))::INT AS ham
+               FROM sim l JOIN sim r ON l.doc_id < r.doc_id)
+         SELECT a, b, ham FROM p WHERE ham <= 3""",
+    "q29_fingerprint" ->
+      s"""WITH f AS (SELECT doc_id, ${OracleSql.fingerprint("text")} AS fp FROM documents)
+         SELECT (fp % 64)::BIGINT AS fp_bucket, count(*)::BIGINT AS n FROM f GROUP BY 1""",
     "q35_roster_rollup" -> graft.ops.Roster.rosterRollupOracle,
     "q36_centroid" ->
       s"""WITH p AS ($pts)

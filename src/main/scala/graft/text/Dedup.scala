@@ -131,8 +131,11 @@ object Dedup {
     // so the default is 3 — callers wanting a larger radius must raise the
     // segment count accordingly or the join silently under-reports.
     require(maxHam <= 3, s"4-segment pigeonhole join only guarantees hamming<=3, got maxHam=$maxHam")
+    // segment extraction MUST be bitwise (shiftright sign-extends and a signed
+    // `% 65536` of a negative value is NOT the low 16 bits — that dropped
+    // pairs whose fingerprints differ in sign)
     val segs = df.select(col("doc_id"), col("sh"), posexplode(array(
-      (0 until 4).map(s => (shiftright(col("sh"), s * 16) % 65536).cast("long")): _*)))
+      (0 until 4).map(s => shiftright(col("sh"), s * 16).bitwiseAND(lit(65535L))): _*)))
       .toDF("doc_id", "sh", "seg_idx", "seg")
     val cand = segs.as("l").join(segs.as("r"),
         col("l.seg_idx") === col("r.seg_idx") && col("l.seg") === col("r.seg") &&
