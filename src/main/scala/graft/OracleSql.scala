@@ -68,6 +68,98 @@ object OracleSql {
        |  (h, c) -> (CASE WHEN c = $sent THEN $rotl13 ELSE $fnvStep END))""".stripMargin
   }
 
+  // ---- q34: full interaction-classifier oracle ----------------------------
+
+  /** SQL fragments computing the synthetic entity state at row-index
+    * expression `kx` (inclusive) — the closed-form mirror of
+    * graft.ops.Interactions.synthVersions: (version, building value,
+    * sorted-k=v tags string). */
+  private def q34State(kx: String): (String, String, String) = {
+    val kinds = s"list_transform(range(1, $kx+1), j -> (id*13 + j*37)%10)"
+    val version = s"(1 + len(list_filter($kinds, x -> x <= 6)))"
+    val jb = s"list_max(list_filter(range(1, $kx+1), j -> (id*13 + j*37)%10 <= 2))"
+    val bld =
+      s"""(CASE WHEN $jb IS NULL THEN 'yes'
+         |  ELSE 'v' || (1 + len(list_filter(list_transform(range(1, $jb+1), j -> (id*13 + j*37)%10), x -> x <= 6)))::VARCHAR END)""".stripMargin
+    val kadds = s"list_filter(range(1, $kx+1), j -> (id*13 + j*37)%10 = 3)"
+    val nameGone = s"(len(list_filter($kinds, x -> x = 4)) > 0 AND id % 3 <> 0)"
+    val tags =
+      s"""concat_ws(',', 'building=' || $bld,
+         |  CASE WHEN len($kadds) > 0 THEN array_to_string(list_transform($kadds, j -> 'k' || j || '=new'), ',') END,
+         |  CASE WHEN NOT $nameGone THEN 'name=obj' || id END,
+         |  CASE WHEN restr THEN 'restriction=no_left_turn' END)""".stripMargin
+    (version, bld, tags)
+  }
+
+  /** Shared generator CTE for q34/q39: the synthetic versions table's
+    * (id, k, kind, etype, restr) grid, closed-form. */
+  private def q34Ev(n: Int): String =
+    s"""ev AS (
+       |  SELECT t.id, r.k,
+       |    2 + (t.id*7+3)%5 AS nv,
+       |    (t.id*13 + r.k*37)%10 AS kind,
+       |    CASE WHEN t.id%5=0 THEN 'relation' WHEN t.id%5 IN (1,2) THEN 'way' ELSE 'node' END AS etype,
+       |    (t.id%5=0 AND t.id%10=0) AS restr
+       |  FROM range(0, $n) t(id), range(0, 6) r(k)
+       |  WHERE r.k < 2 + (t.id*7+3)%5
+       |)""".stripMargin
+
+  /** Full analytic oracle for q34: re-derives every classifier column
+    * (edit class incl. normalized-geometry/latch effects, tag-diff strings,
+    * validity intervals, mv counter, sq presence) from the (id, k) formulas —
+    * completely independent of the Spark window-algebra implementation. */
+  def q34(n: Int): String = {
+    val (verK, bldK, tagsK) = q34State("k")
+    val (_, bldP, tagsP) = q34State("(k-1)")
+    s"""WITH ${q34Ev(n)},
+       |st AS (
+       |  SELECT *,
+       |    1500000000 + id*1000 + k*10 AS vs,
+       |    (id*31 + k*17)%50 AS uid,
+       |    id*100 + k AS c,
+       |    $verK AS version,
+       |    CASE WHEN k=0 THEN 'CRE'
+       |         WHEN kind=9 THEN 'DEL'
+       |         WHEN kind IN (5,6) THEN 'MAG'
+       |         WHEN kind <= 4 THEN 'MAV'
+       |         WHEN (NOT restr) AND (kind=7 OR (kind=8 AND etype='relation')) THEN 'MIV'
+       |         ELSE NULL END AS e
+       |  FROM ev
+       |),
+       |o AS (
+       |  SELECT id, etype, version::INT AS v, uid, c, e, vs,
+       |    CASE WHEN e='DEL' THEN vs+1 WHEN k = nv-1 THEN NULL ELSE vs+10 END AS vu,
+       |    CASE WHEN e='DEL' THEN (id*31 + (k-1)*17)%50 END AS duid,
+       |    CASE WHEN e='MIV' THEN len(list_filter(range(1, k+1), j ->
+       |        (NOT restr) AND (((id*13 + j*37)%10 = 7) OR ((id*13 + j*37)%10 = 8 AND etype='relation'))
+       |        AND len(list_filter(range(j+1, k+1), i -> (id*13 + i*37)%10 <= 6)) = 0))::BIGINT END AS mv,
+       |    CASE WHEN e='CRE' THEN $tagsK
+       |         WHEN e IN ('MAV','MAG') AND kind=3 THEN 'k' || k || '=new' END AS a_a_s,
+       |    CASE WHEN e IN ('MAV','MAG') AND kind<=2 THEN 'building=' || $bldP || '->' || $bldK END AS a_m_s,
+       |    CASE WHEN e='DEL' THEN $tagsP
+       |         WHEN e IN ('MAV','MAG') AND kind=4 AND id%3<>0 THEN 'name=obj' || id END AS a_d_s,
+       |    COALESCE(e IN ('MAG','MIV') AND etype <> 'node', false) AS has_sq,
+       |    CASE WHEN k = nv-1 AND kind <> 9 THEN $tagsK END AS current_tags_s,
+       |    k, nv
+       |  FROM st
+       |)
+       |SELECT id, etype, v, uid, c, e, vs, vu, duid, mv, a_a_s, a_m_s, a_d_s, has_sq, current_tags_s
+       |FROM o WHERE e IS NOT NULL OR k = nv-1""".stripMargin
+  }
+
+  /** Analytic oracle for q39 (map-column tag-KEY filter rollup). */
+  def q39(n: Int): String = {
+    val (verK, _, _) = q34State("k")
+    s"""WITH ${q34Ev(n)},
+       |st AS (
+       |  SELECT *, $verK AS version,
+       |    (restr OR (k >= 2 AND (id*13 + 2*37)%10 = 3)) AS m
+       |  FROM ev
+       |)
+       |SELECT etype, count(*)::BIGINT AS n_rows, count(DISTINCT id)::BIGINT AS n_entities, max(version)::INT AS max_v
+       |FROM st WHERE m GROUP BY 1""".stripMargin
+  }
+
   /** graft.text.Dedup.simhash64 over the `documents` table → CTE text
     * defining `sim(doc_id, sh)` (sh as UBIGINT; bit-identical to the Scala
     * signed long). */

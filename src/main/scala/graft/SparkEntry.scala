@@ -63,11 +63,34 @@ object SparkEntry {
     "q32_image_tile_pivot" -> ((s: SparkSession, _: String) => ImagePipeline.run(s, 2000L, 16)),
     "q33_image_validate" -> ((s: SparkSession, _: String) =>
       Validate.summary(ImagePipeline.synthTable(s, 2000L, 16).toDF())),
-    // full reference classifier over a synthesized versions table (maps/diffs
-    // not DuckDB-hashable → rows-only; golden-tested in InteractionsSpec)
-    "q34_interactions_versions" -> ((s: SparkSession, _: String) =>
-      graft.ops.Interactions.classify(graft.ops.Interactions.synthVersions(s, 500).toDF())
-        .drop("a_a", "a_m", "a_d", "current_tags")),
+    // full reference classifier over the closed-form synthetic versions table;
+    // map columns canonicalized to sorted k=v strings so the ENTIRE classifier
+    // output (incl. tag diffs, latch, normalized-equality effects) is oracle-
+    // hashable — the DuckDB oracle re-derives every column analytically
+    "q34_interactions_versions" -> ((s: SparkSession, _: String) => {
+      import org.apache.spark.sql.functions._
+      import graft.ops.Interactions
+      Interactions.classify(Interactions.synthVersions(s, 500).toDF()).select(
+        col("id"), col("etype"), col("v"), col("uid"), col("c"), col("e"),
+        col("vs"), col("vu"), col("duid"), col("mv"),
+        Interactions.mapToStr(col("a_a")).as("a_a_s"),
+        Interactions.modToStr(col("a_m")).as("a_m_s"),
+        Interactions.mapToStr(col("a_d")).as("a_d_s"),
+        col("sq").isNotNull.as("has_sq"),
+        Interactions.mapToStr(col("current_tags")).as("current_tags_s"))
+    }),
+    // map-column tag-KEY predicates end-to-end (SURVEY F1: tag filters on map
+    // columns): filter the versions table on map_contains_key, roll up by type
+    "q39_tag_key_filter" -> ((s: SparkSession, _: String) => {
+      import org.apache.spark.sql.functions._
+      graft.ops.Interactions.synthVersions(s, 500).toDF()
+        .filter(map_contains_key(col("tags"), "restriction") ||
+          map_contains_key(col("tags"), "k2"))
+        .groupBy(col("etype"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("id")).as("n_entities"),
+          max(col("version")).as("max_v"))
+    }),
     // roster join with uid-over-handle precedence + per-contributor windows
     "q35_roster_rollup" -> (graft.ops.Roster.rosterRollup _),
     // exact centroid per user over the event point cloud (column algebra;
@@ -312,6 +335,10 @@ object SparkEntry {
     "q29_fingerprint" ->
       s"""WITH f AS (SELECT doc_id, ${OracleSql.fingerprint("text")} AS fp FROM documents)
          SELECT (fp % 64)::BIGINT AS fp_bucket, count(*)::BIGINT AS n FROM f GROUP BY 1""",
+    // the classifier's output is re-derived ANALYTICALLY from the generator
+    // formulas — fully independent of the Spark window-algebra implementation
+    "q34_interactions_versions" -> OracleSql.q34(500),
+    "q39_tag_key_filter" -> OracleSql.q39(500),
     "q35_roster_rollup" -> graft.ops.Roster.rosterRollupOracle,
     "q36_centroid" ->
       s"""WITH p AS ($pts)

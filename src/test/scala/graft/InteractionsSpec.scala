@@ -11,10 +11,15 @@ class InteractionsSpec extends AnyFunSuite {
 
   private val sq1 = (Array(10.0, 10.0009, 10.0009, 10.0, 10.0), Array(0.0, 0.0, 0.0009, 0.0009, 0.0))
   private val sq2 = (Array(10.0001, 10.001, 10.001, 10.0001, 10.0001), Array(0.0, 0.0, 0.0009, 0.0009, 0.0))
+  // sq1 with the ring start rotated by one vertex — the SAME polygon
+  private val sq1rot = (Array(10.0009, 10.0009, 10.0, 10.0, 10.0009), Array(0.0, 0.0009, 0.0009, 0.0, 0.0))
+  // sq1 traversed in reverse orientation — also the SAME polygon
+  private val sq1rev = (Array(10.0, 10.0, 10.0009, 10.0009, 10.0), Array(0.0, 0.0009, 0.0009, 0.0, 0.0))
 
   private def v(id: Long, ver: Int, ts: Long, uid: Long, tags: Map[String, String],
-                visible: Boolean = true, g: (Array[Double], Array[Double]) = sq1) =
-    VersionRow(id, ver, ts, uid, ts / 10, tags, visible, g._1, g._2)
+                visible: Boolean = true, g: (Array[Double], Array[Double]) = sq1,
+                etype: String = "way") =
+    VersionRow(id, etype, ver, ts, uid, ts / 10, tags, visible, g._1, g._2)
 
   test("hand fixture classifies row-for-row like the reference semantics") {
     val versions = Seq(
@@ -57,10 +62,94 @@ class InteractionsSpec extends AnyFunSuite {
     assert(e2(2).getAs[Map[String, String]]("current_tags") == Map("highway" -> "primary"))
   }
 
+  test("normalized geometry equality: rotated or reversed rings are UNCHANGED for ways") {
+    val versions = Seq(
+      v(1, 1, 100, 10, Map("building" -> "yes")),
+      v(1, 1, 200, 11, Map("building" -> "yes"), g = sq1rot), // same polygon, rotated start
+      v(1, 1, 300, 12, Map("building" -> "yes"), g = sq1rev), // same polygon, reversed
+      v(1, 1, 400, 13, Map("building" -> "yes"), g = sq2)     // actually moved -> MIV
+    ).toDS()
+    val out = Interactions.classify(versions.toDF()).orderBy(col("vs")).collect()
+    // rotation/reversal rows are suppressed entirely (no interaction) —
+    // InteractionsBuilder.java:511-530 equalsNorm; only CRE + the real move remain
+    assert(out.map(_.getAs[String]("e")).toSeq == Seq("CRE", "MIV"))
+    assert(out(1).getAs[Long]("vs") == 400L)
+    assert(out(1).getAs[Long]("mv") == 1L) // counts 1, not 3: rotations never incremented it
+  }
+
+  test("relations compare RAW coordinates: a rotated ring IS a minor version") {
+    val versions = Seq(
+      v(1, 1, 100, 10, Map("type" -> "multipolygon"), etype = "relation"),
+      v(1, 1, 200, 11, Map("type" -> "multipolygon"), g = sq1rot, etype = "relation")
+    ).toDS()
+    val out = Interactions.classify(versions.toDF()).orderBy(col("vs")).collect()
+    assert(out.map(_.getAs[String]("e")).toSeq == Seq("CRE", "MIV"))
+  }
+
+  test("checkMinorVersion latch: restriction relations NEVER emit MIV (ref :234-241,:321)") {
+    val versions = Seq(
+      v(1, 1, 100, 10, Map("type" -> "restriction", "restriction" -> "no_left_turn"), etype = "relation"),
+      v(1, 1, 200, 11, Map("type" -> "restriction", "restriction" -> "no_left_turn"), g = sq2, etype = "relation"),
+      v(1, 2, 300, 12, Map("type" -> "restriction", "restriction" -> "no_left_turn"), g = sq1, etype = "relation"),
+      // control: same shape WITHOUT the restriction tag emits the MIV
+      v(2, 1, 100, 20, Map("type" -> "multipolygon"), etype = "relation"),
+      v(2, 1, 200, 21, Map("type" -> "multipolygon"), g = sq2, etype = "relation")
+    ).toDS()
+    val out = Interactions.classify(versions.toDF()).orderBy(col("id"), col("vs")).collect()
+    val e1 = out.filter(_.getLong(0) == 1)
+    // the same-version geometry change is suppressed; the version bump is MAG
+    assert(e1.map(_.getAs[String]("e")).toSeq == Seq("CRE", "MAG"))
+    val e2 = out.filter(_.getLong(0) == 2)
+    assert(e2.map(_.getAs[String]("e")).toSeq == Seq("CRE", "MIV"))
+  }
+
+  test("version bump precedence (ref :341-405): geometry change wins MAG, tag diffs still attach; bare bump is MAV") {
+    val versions = Seq(
+      // bump with BOTH tag change and geometry change -> MAG carrying @aM
+      v(1, 1, 100, 10, Map("building" -> "yes")),
+      v(1, 2, 200, 11, Map("building" -> "no"), g = sq2),
+      // bump with nothing changed -> bare MAV (ref :400), no diffs
+      v(2, 1, 100, 20, Map("building" -> "yes")),
+      v(2, 2, 200, 21, Map("building" -> "yes"))
+    ).toDS()
+    val out = Interactions.classify(versions.toDF()).orderBy(col("id"), col("vs")).collect()
+    val r1 = out.filter(_.getLong(0) == 1)(1)
+    assert(r1.getAs[String]("e") == "MAG")
+    assert(r1.getAs[Map[String, scala.collection.Seq[String]]]("a_m")
+      .map { case (k, v) => k -> v.toSeq } == Map("building" -> Seq("yes", "no")))
+    assert(!r1.isNullAt(r1.fieldIndex("sq")))
+    val r2 = out.filter(_.getLong(0) == 2)(1)
+    assert(r2.getAs[String]("e") == "MAV")
+    assert(r2.getAs[Map[String, String]]("a_a") == Map.empty)
+    assert(r2.getAs[Map[String, String]]("a_d") == Map.empty)
+  }
+
+  test("deletions overwrite the current-tags splice (ref :294 assigns, not appends)") {
+    val versions = Seq(
+      v(1, 1, 100, 10, Map("building" -> "yes")),
+      v(1, 1, 200, 11, Map("building" -> "yes"), visible = false)
+    ).toDS()
+    val out = Interactions.classify(versions.toDF()).orderBy(col("vs")).collect()
+    assert(out(1).getAs[String]("e") == "DEL")
+    assert(out(1).isNullAt(out(1).fieldIndex("current_tags")))
+  }
+
+  test("tags -> JSON (X6): classifier maps serialize deterministically through to_json") {
+    val out = Interactions.classify(Interactions.synthVersions(spark, 40).toDF())
+      .filter(col("e") === "CRE")
+      .select(col("id"), to_json(map_from_entries(array_sort(map_entries(col("a_a"))))).as("j"))
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val j = r.getString(1)
+      assert(j.startsWith("{") && j.endsWith("}") && j.contains("\"building\":"), j)
+    }
+  }
+
   test("tag-diff property: applying (aA, aM, aD) to before yields after") {
     val versions = Interactions.synthVersions(spark, 80)
     val out = Interactions.classify(versions.toDF())
-      .filter(col("e") === "MAV")
+      .filter(col("e").isin("MAV", "MAG"))
       .join(versions.toDF().select(col("id"), col("ts").as("vs"), col("tags").as("after_tags")),
         Seq("id", "vs"))
       .collect()
@@ -104,5 +193,20 @@ class InteractionsSpec extends AnyFunSuite {
       .filter(col("e") === "DEL").select(col("vs"), col("vu")).collect()
     assert(out.nonEmpty)
     out.foreach(r => assert(r.getLong(1) == r.getLong(0) + 1))
+  }
+
+  test("synthetic table exercises every edit class and both latch sides") {
+    val out = Interactions.classify(Interactions.synthVersions(spark, 200).toDF())
+    val classes = out.groupBy(col("e")).count().collect()
+      .map(r => Option(r.getString(0)).getOrElse("null") -> r.getLong(1)).toMap
+    assert(Set("CRE", "DEL", "MAV", "MAG", "MIV", "null").subsetOf(classes.keySet), classes.toString)
+    // rotation rows (kind 8) for ways must all be suppressed: MIV only from
+    // kind 7 (all types) and kind 8 (relations)
+    val mivWays = out.filter(col("e") === "MIV" && col("etype") === "way")
+      .select(col("id"), col("vs")).collect()
+    mivWays.foreach { r =>
+      val k = ((r.getLong(1) - 1500000000L - r.getLong(0) * 1000) / 10).toInt
+      assert(Interactions.kindOf(r.getLong(0), k) == 7, s"way MIV from kind != 7 at $r")
+    }
   }
 }
