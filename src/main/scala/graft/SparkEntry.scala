@@ -310,14 +310,33 @@ object SparkEntry {
                   unnest(list_transform(range(1, len(toks)-1),
                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
                 FROM t WHERE len(toks) >= 3),
-         n AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY 1),
+         dfok AS (SELECT g FROM (SELECT g, count(*) AS df FROM sh GROUP BY 1) WHERE df <= 5),
+         shc AS (SELECT sh.* FROM sh JOIN dfok USING (g)),
+         n AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM shc GROUP BY 1),
          inter AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*)::BIGINT AS common
-                   FROM sh l JOIN sh r ON l.source=r.source AND l.g=r.g AND l.doc_id < r.doc_id
+                   FROM shc l JOIN shc r ON l.source=r.source AND l.g=r.g AND l.doc_id < r.doc_id
                    GROUP BY 1,2)
          SELECT i.a, i.b, i.common,
            floor(i.common * 10000.0 / (na.n_sh + nb.n_sh - i.common))::BIGINT AS j_bp
          FROM inter i JOIN n na ON i.a=na.doc_id JOIN n nb ON i.b=nb.doc_id
          WHERE floor(i.common * 10000.0 / (na.n_sh + nb.n_sh - i.common)) >= 2000""",
+    // q27's oracle is ALL-PAIRS exact Jaccard (no LSH, no df cap): matching it
+    // proves both the exact-verify stage AND that LSH recall is 1.0 at this
+    // threshold on this corpus
+    "q27_minhash_lsh" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, len(toks)-1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+                FROM t WHERE len(toks) >= 3),
+         n AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY 1),
+         inter AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*)::BIGINT AS common
+                   FROM sh l JOIN sh r ON l.g=r.g AND l.doc_id < r.doc_id
+                   GROUP BY 1,2)
+         SELECT i.a, i.b, i.common,
+           floor(i.common * 10000.0 / (na.n_sh + nb.n_sh - i.common))::BIGINT AS j_bp
+         FROM inter i JOIN n na ON i.a=na.doc_id JOIN n nb ON i.b=nb.doc_id
+         WHERE floor(i.common * 10000.0 / (na.n_sh + nb.n_sh - i.common)) >= 5000""",
     "q30_ann_brute" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5),
@@ -356,8 +375,6 @@ object SparkEntry {
       """SELECT 2000::BIGINT AS n_rows, 2000::BIGINT AS n_pixels_ok,
          2000::BIGINT AS n_captions_ok, 2000::BIGINT AS n_phash_ok,
          true AS jpg_psnr_above_40""",
-    // q27_minhash_lsh / q28_simhash / q29_fingerprint / q31_ann_lsh: sketch-based,
-    // not SQL-expressible with matching hash functions → rows-only gate check;
-    // accuracy is property-tested in ScalaTest against exact variants.
+    // q31_ann_lsh: LSH-bucketed ANN — candidates reranked exactly; see queries.
   )
 }

