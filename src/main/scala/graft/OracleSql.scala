@@ -160,6 +160,44 @@ object OracleSql {
        |FROM st WHERE m GROUP BY 1""".stripMargin
   }
 
+  // ---- q31: full ANN-LSH replica oracle ------------------------------------
+
+  /** Complete DuckDB replica of graft.ann.Ann.lshTopK: the deterministic
+    * hyperplanes are inlined as literal constants (they're part of the
+    * algorithm spec, like projection constants); signatures, banding,
+    * candidate dedup and the exact cosine rerank are all recomputed in SQL.
+    * Dot products reduce left-to-right exactly like the Scala loop, so signs
+    * and ranks are bit-parity. On this corpus (uniform random vectors, no
+    * planted clusters) recall-vs-brute is inherently partial — what this
+    * oracle verifies is the LSH pipeline itself, end to end. */
+  def q31(planes: Array[Array[Double]], q: Int = 5, k: Int = 10, bands: Int = 4): String = {
+    val bitsPerBand = planes.length / bands
+    val mask = (1L << bitsPerBand) - 1
+    val planeRows = planes.zipWithIndex.map { case (w, p) =>
+      s"($p, [${w.mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n  ")
+    // strict left-to-right sum of per-dim products == the Scala dot loop
+    def dot(a: String, b: String) =
+      s"list_reduce(list_transform(range(1, 65), i -> ($a)[i] * ($b)[i]), (x, y) -> x + y)"
+    s"""WITH planes(p, w) AS (VALUES
+       |  $planeRows),
+       |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |sig AS (
+       |  SELECT vec_id, sum(CASE WHEN ${dot("e", "w")} >= 0 THEN (1::UBIGINT << p) ELSE 0 END)::UBIGINT AS s
+       |  FROM v, planes GROUP BY 1),
+       |vb AS (SELECT vec_id, b, (s >> (b * $bitsPerBand)) & $mask AS band FROM sig, range($bands) r(b)),
+       |qb AS (SELECT vec_id AS qid, b, band AS qband FROM vb WHERE vec_id < $q),
+       |cand AS (SELECT DISTINCT qb.qid, vb.vec_id
+       |         FROM vb JOIN qb ON vb.b = qb.b AND vb.band = qb.qband),
+       |qv AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < $q),
+       |rer AS (
+       |  SELECT c.qid, c.vec_id,
+       |    ${dot("qv.qe", "v.e")} / (sqrt(${dot("qv.qe", "qv.qe")}) * sqrt(${dot("v.e", "v.e")})) AS cos
+       |  FROM cand c JOIN v ON c.vec_id = v.vec_id JOIN qv ON c.qid = qv.qid),
+       |rk AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM rer)
+       |SELECT qid, vec_id, rank::INT AS rank FROM rk WHERE rank <= $k""".stripMargin
+  }
+
   /** graft.text.Dedup.simhash64 over the `documents` table → CTE text
     * defining `sim(doc_id, sh)` (sh as UBIGINT; bit-identical to the Scala
     * signed long). */

@@ -343,6 +343,9 @@ object SparkEntry {
          d AS (SELECT q.qid, v.vec_id, list_cosine_similarity(q.qe, v.e) AS c FROM v CROSS JOIN q),
          r AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rk FROM d)
          SELECT qid, vec_id, rk::INT AS rank FROM r WHERE rk <= 10""",
+    // q31's oracle replicates the WHOLE LSH pipeline in SQL (inlined plane
+    // constants, signatures, banding, dedup, exact rerank) — see OracleSql.q31
+    "q31_ann_lsh" -> OracleSql.q31(graft.ann.Ann.hyperplanes(16, 64)),
     // sketch queries verified by a REAL oracle: OracleSql reproduces the
     // engine's from-scratch 64-bit hashing (FNV-1a, rotl, splitmix64) in
     // DuckDB via wrap-around 32-bit-half multiplication

