@@ -160,6 +160,95 @@ object OracleSql {
        |FROM st WHERE m GROUP BY 1""".stripMargin
   }
 
+  // ---- q32/q38: image-pipeline replica oracle ------------------------------
+
+  /** Staged splitmix64: returns (colName, expr) pairs defining `out` from the
+    * UBIGINT-domain expression `src`. Staging through MATERIALIZED CTE
+    * columns is mandatory — DuckDB inlines single-use CTEs, and the nested
+    * mix tree re-explodes exponentially otherwise. */
+  private def mixStageDefs(src: String, out: String): Seq[(String, String)] = Seq(
+    (s"${out}_z1", s"((($src)::HUGEINT + 11400714819323198485) % $M64)::UBIGINT"),
+    (s"${out}_z2", mulmod(s"xor(${out}_z1, ${out}_z1 >> 30)::HUGEINT", 0xBF58476D1CE4E5B9L) + "::UBIGINT"),
+    (s"${out}_z3", mulmod(s"xor(${out}_z2, ${out}_z2 >> 27)::HUGEINT", 0x94D049BB133111EBL) + "::UBIGINT"),
+    (out, s"xor(${out}_z3, ${out}_z3 >> 31)"))
+
+  /** CTE chain deriving the synthetic image table's geotag/meta hash values
+    * (seed + the 7 mix(seed^c) draws) for idx ∈ [0, n) — the DuckDB mirror of
+    * graft.synth.{ImageSynth, Geotag}. Ends in a relation named `st3` with
+    * columns idx, seed, sel, hdx, hdy, hlon, hlat, huid, hteam. */
+  private def geotagCtes(n: Long): String = {
+    val hashes = Seq(("sel", 41), ("hdx", 43), ("hdy", 47), ("hlon", 53),
+      ("hlat", 59), ("huid", 17), ("hteam", 19))
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      s"i AS (SELECT unnest(range(0, $n)) AS idx)")
+    var prev = "i"
+    var cols = Seq("idx")
+    mixStageDefs(s"(${mulmod("idx::HUGEINT", 0x100000001B3L)} + 7) % $M64", "seed").foreach {
+      case (name, expr) =>
+        ctes += s"s_$name AS MATERIALIZED (SELECT ${cols.mkString(", ")}, $expr AS $name FROM $prev)"
+        prev = s"s_$name"; cols = cols :+ name
+    }
+    (0 until 4).foreach { stage =>
+      val defs = hashes.map { case (h, c) => mixStageDefs(s"xor(seed, $c::UBIGINT)", h)(stage) }
+      ctes += s"st$stage AS MATERIALIZED (SELECT ${cols.mkString(", ")}, ${defs.map { case (n2, e) => s"$e AS $n2" }.mkString(", ")} FROM $prev)"
+      prev = s"st$stage"; cols = cols ++ defs.map(_._1)
+    }
+    ctes.mkString(",\n")
+  }
+
+  /** Geotag/meta/tile/PIP derivation CTEs shared by q32/q38 — mirrors
+    * Geotag.of + ImageSynth.metaOf + Quadkey z12 + the metro-box PIP with the
+    * identical double-arithmetic operation order. Ends in `pj` with columns
+    * (idx, uid, team, lon, lat, tile, boundary_id). */
+  private def pipelineCtes(n: Long): String =
+    s"""${geotagCtes(n)},
+       |g AS (SELECT idx,
+       |  ((sel & 2147483647) % 10 < 7) AS is_metro,
+       |  ((sel >> 33) % 3)::INT AS midx,
+       |  CAST(hdx & 1048575 AS DOUBLE) AS dxv, CAST(hdy & 1048575 AS DOUBLE) AS dyv,
+       |  CAST(hlon & 16777215 AS DOUBLE) AS lonv, CAST(hlat & 16777215 AS DOUBLE) AS latv,
+       |  ((huid & 2147483647) % 500)::BIGINT AS uid,
+       |  ['kll','msf','dcx','hot'][((hteam & 2147483647) % 4)::INT + 1] AS team
+       |FROM st3),
+       |m AS (SELECT *,
+       |  CASE midx WHEN 0 THEN -122.42 WHEN 1 THEN 2.35 ELSE 106.85 END AS mlon,
+       |  CASE midx WHEN 0 THEN 37.77 WHEN 1 THEN 48.86 ELSE -6.21 END AS mlat,
+       |  CASE midx WHEN 0 THEN 0.35 WHEN 1 THEN 0.25 ELSE 0.45 END AS spread
+       |FROM g),
+       |pt AS (SELECT idx, uid, team,
+       |  CASE WHEN is_metro THEN mlon + ((dxv / 1048575.0 - 0.5) * 2) * spread
+       |       ELSE (lonv / 16777215.0) * 360.0 - 180.0 END AS lon,
+       |  CASE WHEN is_metro THEN mlat + ((dyv / 1048575.0 - 0.5) * 2) * spread
+       |       ELSE (latv / 16777215.0) * 170.0 - 85.0 END AS lat
+       |FROM m),
+       |tl AS (SELECT *,
+       |  least(4095, greatest(0, CAST(trunc((lon + 180.0) / 360.0 * 4096.0) AS BIGINT)))::BIGINT AS tx,
+       |  least(4095, greatest(0, CAST(floor((1.0 - ln(tan(greatest(-85.05112878, least(85.05112878, lat)) / 180.0 * pi())
+       |     + 1.0 / cos(greatest(-85.05112878, least(85.05112878, lat)) / 180.0 * pi())) / pi()) / 2.0 * 4096.0) AS BIGINT)))::BIGINT AS ty
+       |FROM pt),
+       |pj AS (SELECT *,
+       |  12::BIGINT * 288230376151711744 + tx * 536870912 + ty AS tile,
+       |  CASE WHEN lon > -122.42 - 0.35*1.2 AND lon < -122.42 + 0.35*1.2 AND lat > 37.77 - 0.35*1.2 AND lat < 37.77 + 0.35*1.2 THEN 'metro_0'
+       |       WHEN lon > 2.35 - 0.25*1.2 AND lon < 2.35 + 0.25*1.2 AND lat > 48.86 - 0.25*1.2 AND lat < 48.86 + 0.25*1.2 THEN 'metro_1'
+       |       WHEN lon > 106.85 - 0.45*1.2 AND lon < 106.85 + 0.45*1.2 AND lat > -6.21 - 0.45*1.2 AND lat < -6.21 + 0.45*1.2 THEN 'metro_2'
+       |       WHEN lon > -10.0 AND lon < -9.0 AND lat > -89.9 AND lat < -89.0 THEN 'nowhere'
+       |       ELSE NULL END AS boundary_id
+       |FROM tl)""".stripMargin
+
+  /** Full replica oracle for q32 (codegen pipeline: geotag → z12 tile → PIP →
+    * per-tile per-team pivot) — splitmix64 + web-mercator + PIP recomputed
+    * bit-exactly in SQL. */
+  def q32(n: Long): String =
+    s"""WITH ${pipelineCtes(n)}
+       |SELECT tile, boundary_id,
+       |  sum(CASE WHEN team='kll' THEN 1 ELSE 0 END)::BIGINT AS kll_e,
+       |  sum(CASE WHEN team='msf' THEN 1 ELSE 0 END)::BIGINT AS msf_e,
+       |  sum(CASE WHEN team='dcx' THEN 1 ELSE 0 END)::BIGINT AS dcx_e,
+       |  sum(CASE WHEN team='hot' THEN 1 ELSE 0 END)::BIGINT AS hot_e,
+       |  count(*)::BIGINT AS team_sum_e,
+       |  count(DISTINCT uid)::BIGINT AS n_users
+       |FROM pj WHERE boundary_id IS NOT NULL GROUP BY 1, 2""".stripMargin
+
   // ---- q31: full ANN-LSH replica oracle ------------------------------------
 
   /** Complete DuckDB replica of graft.ann.Ann.lshTopK: the deterministic

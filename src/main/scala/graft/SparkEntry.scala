@@ -61,6 +61,11 @@ object SparkEntry {
     "q31_ann_lsh" -> ((s: SparkSession, d: String) => Ann.lshTopK(s, d)),
     // image pipeline (north_rule flagship; input synthesized deterministically)
     "q32_image_tile_pivot" -> ((s: SparkSession, _: String) => ImagePipeline.run(s, 2000L, 16)),
+    // the same rollup with teams DISCOVERED dynamically via pivot() over the
+    // typed Dataset path — must agree with q32's codegen path and the oracle
+    "q38_team_pivot_dynamic" -> ((s: SparkSession, _: String) =>
+      ImagePipeline.tileTeamPivotDynamic(ImagePipeline.pipJoin(
+        ImagePipeline.features(s, 2000L, 16), ImagePipeline.metroBoundaries))),
     "q33_image_validate" -> ((s: SparkSession, _: String) =>
       Validate.summary(ImagePipeline.synthTable(s, 2000L, 16).toDF())),
     // full reference classifier over the closed-form synthetic versions table;
@@ -357,6 +362,11 @@ object SparkEntry {
     "q29_fingerprint" ->
       s"""WITH f AS (SELECT doc_id, ${OracleSql.fingerprint("text")} AS fp FROM documents)
          SELECT (fp % 64)::BIGINT AS fp_bucket, count(*)::BIGINT AS n FROM f GROUP BY 1""",
+    // the full image pipeline re-derived in SQL: splitmix64 + geotag + web-
+    // mercator + PIP, bit-exact (see OracleSql.pipelineCtes). q38's dynamic
+    // pivot must produce the identical relation (column order differs only)
+    "q32_image_tile_pivot" -> OracleSql.q32(2000),
+    "q38_team_pivot_dynamic" -> OracleSql.q32(2000),
     // the classifier's output is re-derived ANALYTICALLY from the generator
     // formulas — fully independent of the Spark window-algebra implementation
     "q34_interactions_versions" -> OracleSql.q34(500),

@@ -133,6 +133,24 @@ object ImagePipeline {
         count(lit(1)).as("team_sum_e"),
         countDistinct(col("uid")).as("n_users"))
 
+  /** Dynamic per-team pivot — the reference emits `<team>-*` columns for
+    * whatever teams EXIST in the data (map-contribution-extractor.js:293-313
+    * `team+"-e"` + `teamSum*`), so the team list must be discovered, not
+    * hardcoded: `pivot("team")` runs a values-discovery pass then pivots.
+    * (At 100 TB pass the known team list to `pivot(col, values)` to skip the
+    * discovery job — the output contract is identical.) Absent team cells
+    * coalesce to 0 like the reference's zero-initialized accumulators. */
+  def tileTeamPivotDynamic(joined: DataFrame): DataFrame = {
+    val p = joined.groupBy(col("tile"), col("boundary_id")).pivot("team").agg(count(lit(1)))
+    val teams = p.columns.filterNot(Set("tile", "boundary_id"))
+    val totals = joined.groupBy(col("tile"), col("boundary_id"))
+      .agg(count(lit(1)).as("team_sum_e"), countDistinct(col("uid")).as("n_users"))
+    val filled = teams.foldLeft(p) { (df, tm) =>
+      df.withColumn(tm, coalesce(col(tm), lit(0L))).withColumnRenamed(tm, s"${tm}_e")
+    }
+    filled.join(totals, Seq("tile", "boundary_id"))
+  }
+
   /** userDailyPointSummaries analog: weighted centroid per (uid, day) via the
     * custom Aggregator (reference turf.centerOfMass per user/day collection,
     * map-contribution-extractor.js:203-224). The shuffle carries 3 doubles
