@@ -61,50 +61,81 @@ object Checkpoint {
     Some(json)
   }
 
+  /** Diagnostic: id-range rows scanned by the LAST run's synthesis pass —
+    * the spec asserts the range is scanned ONCE regardless of bucket count
+    * (the round-1 design re-filtered the full range once per bucket). */
+  @volatile var lastRangeEvals: Long = -1L
+
   /** Process all uncommitted buckets; optionally stop after `maxBuckets`
-    * (the kill-after-K test hook). Each bucket: synth its rows → validate →
-    * write parquet → commit manifest atomically (tmp + rename). */
+    * (the kill-after-K test hook).
+    *
+    * ONE synthesis pass: every id is bucket-assigned from its seed
+    * (arithmetic only — skipped ids never render pixels), uncommitted
+    * buckets render and write in a single `partitionBy("bucket")` job with
+    * dynamic partition overwrite (committed buckets' files are untouched).
+    * Manifests then derive per bucket from the WRITTEN files — proving the
+    * committed bytes — and commit atomically (tmp + rename). */
   def run(spark: SparkSession, n: Long, outDir: String, buckets: Int = 8,
           parts: Int = 32, hexRes: Int = 7, maxBuckets: Int = Int.MaxValue): Seq[Manifest] = {
     import spark.implicits._
     Files.createDirectories(Paths.get(s"$outDir/_commits"))
     val done = committed(outDir, buckets)
     val todo = (0 until buckets).filterNot(done.contains).take(maxBuckets)
+    if (todo.isEmpty) { return Seq.empty }
     val res = hexRes; val nb = buckets
+    val bcTodo = spark.sparkContext.broadcast(todo.toSet)
+    val evals = spark.sparkContext.longAccumulator("graft.ckpt.rangeEvals")
+
+    val rows = spark.range(0L, n, 1L, parts).mapPartitions { it =>
+      val t = bcTodo.value
+      it.flatMap { i =>
+        evals.add(1L)
+        val b = bucketOf(ImageSynth.seedOf(i), res, nb) // arithmetic-only skip
+        if (!t.contains(b)) None
+        else {
+          val r = ImageSynth.rowOf(i)
+          Some((b, r.image_id, r.bytes, r.w, r.h, r.fmt, r.caption, r.phash))
+        }
+      }
+    }.toDF("bucket", "image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+
+    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try rows.write.mode("overwrite").partitionBy("bucket").parquet(s"$outDir/data")
+    finally prevMode match {
+      case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    lastRangeEvals = evals.value
 
     todo.map { b =>
-      // bucket membership decided from the seed alone — no render for skips
-      val ids = spark.range(0L, n, 1L, parts)
-        .filter(i => bucketOf(ImageSynth.seedOf(i), res, nb) == b)
-      val rows = ids.mapPartitions(_.map(i => ImageSynth.rowOf(i))).toDF()
-
       val dataPath = s"$outDir/data/bucket=$b"
-      rows.write.mode("overwrite").parquet(dataPath)
 
-      // lineage + validation metrics from what was just written (re-read →
-      // proves the committed bytes, not the in-flight ones)
-      val written = spark.read.parquet(dataPath)
-      val v = Validate.verdicts(written).toDF()
-      val feats = ImagePipeline.featuresFromTable(written, hexRes = res)
-      val stats = feats.agg(
-        min(col("hex")).as("cellMin"), max(col("hex")).as("cellMax"),
-        count(lit(1)).as("rowCount"),
-        // order-independent digest: xor of phashes
-        expr("bit_xor(phash)").as("phashDigest")
-      ).head()
-      val vstats = v.agg(
-        sum(when(col("pixels_ok"), 1L).otherwise(0L)),
-        sum(when(col("caption_ok"), 1L).otherwise(0L))).head()
-
-      // zero-row bucket (possible when n is small vs buckets): min/max/bit_xor
-      // aggregate to null — commit an empty manifest with sentinel lineage
-      // instead of NPEing the whole run
-      val m =
+      // zero-row bucket (possible when n is small vs buckets): partitionBy
+      // creates no directory — commit an empty manifest with sentinel lineage
+      val m = if (!Files.exists(Paths.get(dataPath)))
+        Manifest(b, Long.MaxValue, Long.MinValue, 0L, 0L, 0L, 0L)
+      else {
+        // lineage + validation metrics from what was just written (re-read →
+        // proves the committed bytes, not the in-flight ones)
+        val written = spark.read.parquet(dataPath)
+        val v = Validate.verdicts(written).toDF()
+        val feats = ImagePipeline.featuresFromTable(written, hexRes = res)
+        val stats = feats.agg(
+          min(col("hex")).as("cellMin"), max(col("hex")).as("cellMax"),
+          count(lit(1)).as("rowCount"),
+          // order-independent digest: xor of phashes
+          expr("bit_xor(phash)").as("phashDigest")
+        ).head()
+        val vstats = v.agg(
+          sum(when(col("pixels_ok"), 1L).otherwise(0L)),
+          sum(when(col("caption_ok"), 1L).otherwise(0L))).head()
         if (stats.isNullAt(0))
           Manifest(b, Long.MaxValue, Long.MinValue, 0L, 0L, 0L, 0L)
         else Manifest(b, stats.getLong(0), stats.getLong(1), stats.getLong(2),
           stats.getLong(3), if (vstats.isNullAt(0)) 0L else vstats.getLong(0),
           if (vstats.isNullAt(1)) 0L else vstats.getLong(1))
+      }
       val json =
         s"""{"bucket":${m.bucket},"cellMin":${m.cellMin},"cellMax":${m.cellMax},
            |"rowCount":${m.rowCount},"phashDigest":${m.phashDigest},

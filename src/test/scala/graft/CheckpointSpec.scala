@@ -25,11 +25,15 @@ class CheckpointSpec extends AnyFunSuite {
     val n = 600L; val buckets = 4
     val r1 = Checkpoint.run(spark, n, dirA, buckets, parts = 4, maxBuckets = 2)
     assert(r1.size == 2)
+    // one-pass write: the id range is scanned ONCE per run, not once per bucket
+    assert(Checkpoint.lastRangeEvals == n, s"range scanned ${Checkpoint.lastRangeEvals} times for n=$n")
     val r2 = Checkpoint.run(spark, n, dirA, buckets, parts = 4)
     assert(r2.size == 2)
+    assert(Checkpoint.lastRangeEvals == n)
     assert(Checkpoint.run(spark, n, dirA, buckets, parts = 4).isEmpty) // no-op
     val fresh = Checkpoint.run(spark, n, dirB, buckets, parts = 4)
     assert(fresh.size == buckets)
+    assert(Checkpoint.lastRangeEvals == n)
     val a = (r1 ++ r2).map(m => m.bucket -> (m.rowCount, m.phashDigest)).toMap
     val b = fresh.map(m => m.bucket -> (m.rowCount, m.phashDigest)).toMap
     assert(a == b)
