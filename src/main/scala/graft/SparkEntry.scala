@@ -108,6 +108,28 @@ object SparkEntry {
         floor(sum(floor(col("lat") * 1e6 + 0.5).cast("long")) / count(lit(1))).cast("long").as("c_lat_e6"))
     }),
     // changesets pipeline over the deterministic fixture (values pinned)
+    // enhanced 15-header changeset form: @u_* per-user aggregate columns
+    // appear iff the `days` header exists (map-changeset-parser.js:63-70)
+    "q40_changesets_enhanced" -> ((s: SparkSession, _: String) => {
+      import org.apache.spark.sql.functions._
+      graft.ops.Changesets.enhancedFixture(s).select(
+        col("cs_id"), col("uid"), col("user"), col("hot"), col("ts"), col("num_changes"),
+        col("u_changesets"), col("u_sum_changes"), col("u_first_edit"),
+        col("u_latest_edit"), col("u_days_editing"))
+    }),
+    // F2: case-insensitive tag-KEY resolution via a dictionary LIKE lookup
+    // (AdvTagTranslator.java:37-38,60-73): resolve pattern 'K%' against the
+    // distinct-key dictionary, then filter/rollup rows by resolved keys
+    "q41_key_like_resolution" -> ((s: SparkSession, _: String) => {
+      import org.apache.spark.sql.functions._
+      val versions = graft.ops.Interactions.synthVersions(s, 500).toDF()
+      val dict = versions.select(explode(map_keys(col("tags"))).as("key")).distinct()
+      val pattern = "K%".toLowerCase // case-insensitive: both sides lowered
+      val resolved = dict.filter(lower(col("key")).like(pattern))
+      val exploded = versions.select(explode(map_keys(col("tags"))).as("key"))
+      exploded.join(broadcast(resolved), Seq("key"))
+        .groupBy(col("key")).agg(count(lit(1)).as("n_rows"))
+    }),
     "q37_changesets" -> ((s: SparkSession, _: String) => {
       import org.apache.spark.sql.functions._
       graft.ops.Changesets.fixture(s).select(
@@ -384,6 +406,22 @@ object SparkEntry {
            (2::BIGINT, 8::BIGINT, 'bob', 'Point', false, 0, '', 1579939200::BIGINT, 1, (-3)::BIGINT),
            (4::BIGINT, 10::BIGINT, 'dave', 'Polygon', false, 0, '', 1580635800::BIGINT, 12, 2::BIGINT)
          ) AS t(cs_id, uid, "user", geom_type, hot, n_hashtags, first_hashtag, ts, num_changes, area_mag)""",
+    "q40_changesets_enhanced" ->
+      """SELECT * FROM (VALUES
+           (1::BIGINT, 7::BIGINT, 'alice', true, 1579898055::BIGINT, 40::INT,
+            120::BIGINT, 4520::BIGINT, 1393660800::BIGINT, 1579898055::BIGINT, 210::INT),
+           (2::BIGINT, 8::BIGINT, 'bob', false, 1579939200::BIGINT, 1::INT,
+            3::BIGINT, 17::BIGINT, 1575196200::BIGINT, 1579939200::BIGINT, 3::INT)
+         ) AS t(cs_id, uid, "user", hot, ts, num_changes, u_changesets,
+                u_sum_changes, u_first_edit, u_latest_edit, u_days_editing)""",
+    // analytic: key kJ exists on rows k >= J of entities whose kind(J) = 3
+    "q41_key_like_resolution" ->
+      """WITH ev AS (
+           SELECT t.id, r.k FROM range(0, 500) t(id), range(0, 6) r(k)
+           WHERE r.k < 2 + (t.id*7+3)%5),
+         x AS (SELECT id, k, j FROM ev, range(1, 6) s(j)
+               WHERE j <= k AND (id*13 + j*37)%10 = 3)
+         SELECT 'k' || j AS key, count(*)::BIGINT AS n_rows FROM x GROUP BY 1""",
     "q33_image_validate" ->
       """SELECT 2000::BIGINT AS n_rows, 2000::BIGINT AS n_pixels_ok,
          2000::BIGINT AS n_captions_ok, 2000::BIGINT AS n_phash_ok,

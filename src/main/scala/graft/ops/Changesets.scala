@@ -22,15 +22,36 @@ object Changesets {
     StructField("num_changes", IntegerType),
     StructField("uid", LongType), StructField("user", StringType)))
 
+  /** The ENHANCED header list (changesets/index.js:17, commented-in variant):
+    * base 10 columns + per-user aggregates. When the `days` column is present
+    * the parser emits the `@u_*` enhanced-user properties
+    * (map-changeset-parser.js:63-70). */
+  val enhancedSchema: StructType = StructType(schema.fields ++ Seq(
+    StructField("num_changesets", LongType), StructField("sum_changes", LongType),
+    StructField("first", StringType), StructField("latest", StringType),
+    StructField("days", IntegerType)))
+
   val MaxAreaKm2 = 2500.0
 
   /** CSV (no header row, quoted JSON field, possibly multiline) → parsed rows.
-    * Mirrors changesets/map-changeset-parser.js:13-80. */
-  def readCsv(spark: SparkSession, path: String): DataFrame =
-    parse(spark.read.schema(schema)
+    * Mirrors changesets/map-changeset-parser.js:13-80. Pass `enhanced = true`
+    * for the 15-header form. */
+  def readCsv(spark: SparkSession, path: String, enhanced: Boolean = false): DataFrame =
+    parse(spark.read.schema(if (enhanced) enhancedSchema else schema)
       .option("header", "false").option("multiLine", "true").csv(path))
 
   def parse(raw: DataFrame): DataFrame = {
+    // enhanced-user columns appear iff the input carried the 15-header form
+    // (reference checks HEADERS.indexOf('days') > -1)
+    val enhanced = raw.columns.contains("days")
+    val uCols =
+      if (enhanced) Seq(
+        col("num_changesets").as("u_changesets"),
+        col("sum_changes").as("u_sum_changes"),
+        unix_timestamp(col("first")).as("u_first_edit"),
+        unix_timestamp(col("latest")).as("u_latest_edit"),
+        col("days").as("u_days_editing"))
+      else Seq.empty
     val areaUdf = udf { (w: Double, s: Double, e: Double, n: Double) =>
       Geo.bboxAreaKm2(w, s, e, n)
     }
@@ -54,9 +75,25 @@ object Changesets {
       .withColumn("hot", col("comment").contains("hotosm"))
       // date parse -> unix seconds (:61)
       .withColumn("ts", unix_timestamp(col("created_at")))
-      .select(col("id").as("cs_id"), col("uid"), col("user"), col("comment"),
+      .select(Seq(col("id").as("cs_id"), col("uid"), col("user"), col("comment"),
         col("area_km2"), col("geom_type"), col("hashtags"), col("hot"),
-        col("ts"), col("num_changes"))
+        col("ts"), col("num_changes")) ++ uCols: _*)
+  }
+
+  /** Deterministic 15-column fixture for the enhanced-user path. */
+  def enhancedFixture(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, """{"comment":"#hotosm-task-123 mapping"}""", "2020-01-24 20:34:15",
+        10.0, 10.2, 20.0, 20.2, 40, 7L, "alice", 120L, 4520L, "2014-03-01 08:00:00", "2020-01-24 20:34:15", 210),
+      (2L, """{"comment":"corner shop"}""", "2020-01-25 08:00:00",
+        -5.0, -5.0, 30.0, 30.0, 1, 8L, "bob", 3L, 17L, "2019-12-01 10:30:00", "2020-01-25 08:00:00", 3),
+      (3L, """{"comment":"#import big area"}""", "2020-02-01 12:00:00",
+        0.0, 40.0, 0.0, 40.0, 900, 9L, "carol", 999L, 100000L, "2010-01-01 00:00:00", "2020-02-01 12:00:00", 2500)
+    )
+    parse(rows.toDF(enhancedSchema.fieldNames: _*)
+      .withColumn("num_changes", col("num_changes").cast("int"))
+      .withColumn("days", col("days").cast("int")))
   }
 
   /** Deterministic in-memory fixture covering the reference's cases:
