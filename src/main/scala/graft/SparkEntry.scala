@@ -130,6 +130,23 @@ object SparkEntry {
       exploded.join(broadcast(resolved), Seq("key"))
         .groupBy(col("key")).agg(count(lit(1)).as("n_rows"))
     }),
+    // J8: changeset↔object join by changeset id — objects enriched with their
+    // changeset's aggregate properties (the reference joins QA-tile features
+    // to changeset metadata via @c), then rolled up
+    "q42_changeset_object_join" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      val ev = graft.Session.table(s, d, "events")
+        .withColumn("ts_s", floor(unix_timestamp(col("ts"))).cast("long"))
+        .withColumn("day", floor(col("ts_s") / 86400).cast("long"))
+        .withColumn("cs", col("user_id") * 100000L + col("day"))
+      val cs = ev.groupBy(col("cs")).agg(
+        count(lit(1)).as("num_changes"), min(col("ts_s")).as("created_at"))
+      ev.join(cs.filter(col("num_changes") >= 5), Seq("cs"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_objects"),
+          countDistinct(col("cs")).as("n_big_changesets"),
+          min(col("created_at")).as("first_created"))
+    }),
     "q37_changesets" -> ((s: SparkSession, _: String) => {
       import org.apache.spark.sql.functions._
       graft.ops.Changesets.fixture(s).select(
@@ -414,6 +431,17 @@ object SparkEntry {
             3::BIGINT, 17::BIGINT, 1575196200::BIGINT, 1579939200::BIGINT, 3::INT)
          ) AS t(cs_id, uid, "user", hot, ts, num_changes, u_changesets,
                 u_sum_changes, u_first_edit, u_latest_edit, u_days_editing)""",
+    "q42_changeset_object_join" ->
+      """WITH e AS (SELECT *, floor(epoch(ts))::BIGINT AS ts_s,
+           floor(floor(epoch(ts))/86400)::BIGINT AS day FROM events),
+         ec AS (SELECT *, user_id*100000 + day AS cs FROM e),
+         c AS (SELECT cs, count(*)::BIGINT AS num_changes, min(ts_s)::BIGINT AS created_at
+               FROM ec GROUP BY 1)
+         SELECT day, count(*)::BIGINT AS n_objects,
+           count(DISTINCT ec.cs)::BIGINT AS n_big_changesets,
+           min(created_at)::BIGINT AS first_created
+         FROM ec JOIN c ON ec.cs = c.cs AND c.num_changes >= 5
+         GROUP BY 1""",
     // analytic: key kJ exists on rows k >= J of entities whose kind(J) = 3
     "q41_key_like_resolution" ->
       """WITH ev AS (

@@ -102,18 +102,21 @@ object Ann {
     * once for the rerank. Query vectors resolve via a broadcast hash Map,
     * not a linear scan. */
   def lshTopK(spark: SparkSession, dir: String, q: Int = 5, k: Int = 10,
-              nBits: Int = 16, bands: Int = 4): DataFrame = {
+              nBits: Int = 16, bands: Int = 4): DataFrame =
+    lshTopKFrom(loadVecs(spark, dir), queriesFrom(spark, dir, q), k, nBits, bands)
+
+  /** Candidate id pairs (qid, vec_id) from the band join — only
+    * (vec_id, band, vband) rows ever move; no embedding in the exchange. */
+  def lshCandidates(vecs: DataFrame, queries: Seq[EmbQuery],
+                    nBits: Int, bands: Int): DataFrame = {
+    val spark = vecs.sparkSession
     import spark.implicits._
-    val queries = queriesFrom(spark, dir, q)
     val dim = queries.head.vec.length
     val planes = hyperplanes(nBits, dim)
     val bcP = spark.sparkContext.broadcast(planes)
-    val bcQ = spark.sparkContext.broadcast(queries.map(qq => qq.qid -> qq.vec).toMap)
     val bitsPerBand = nBits / bands
     val mask = (1L << bitsPerBand) - 1
-
     val sigUdf = udf { (v: Seq[Double]) => signature(v.toArray, bcP.value) }
-    val vecs = loadVecs(spark, dir)
     val signed = vecs.withColumn("sig", sigUdf(col("v")))
     val qBands = queries.flatMap { qq =>
       val sig = signature(qq.vec, planes)
@@ -124,9 +127,16 @@ object Ann {
         array((0 until bands).map(b =>
           shiftright(col("sig"), b * bitsPerBand).bitwiseAND(lit(mask))): _*)))
       .toDF("vec_id", "band", "vband")
-    val cand = vBands.join(broadcast(qBands),
+    vBands.join(broadcast(qBands),
         col("band") === col("qband_idx") && col("vband") === col("qband"))
       .select(col("qid"), col("vec_id")).distinct()
+  }
+
+  def lshTopKFrom(vecs: DataFrame, queries: Seq[EmbQuery], k: Int,
+                  nBits: Int = 16, bands: Int = 4): DataFrame = {
+    val spark = vecs.sparkSession
+    val bcQ = spark.sparkContext.broadcast(queries.map(qq => qq.qid -> qq.vec).toMap)
+    val cand = lshCandidates(vecs, queries, nBits, bands)
     // single vector fetch for the rerank — the only time embeddings shuffle,
     // and only for candidate ids
     val cosUdf = udf { (qid: Long, v: Seq[Double]) => cosine(bcQ.value(qid), v.toArray) }

@@ -139,6 +139,42 @@ class KnnSparkSpec extends AnyFunSuite {
   }
 }
 
+class AnnSparkSpec extends AnyFunSuite {
+  import graft.ann.Ann
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("on clustered embeddings LSH prunes hard AND recalls the true top-k exactly") {
+    import spark.implicits._
+    val r = new Prop.Rng(7)
+    val dim = 16
+    def noisy(center: Array[Double], eps: Double): Array[Double] =
+      center.map(c => c + r.double(-eps, eps))
+    val centers = Array.fill(3)(Array.fill(dim)(r.double(-1, 1)))
+    // ids 0..2 are the query vectors (the cluster centers themselves)
+    val rows: Seq[(Long, Array[Double])] =
+      centers.zipWithIndex.map { case (c, i) => (i.toLong, c) }.toSeq ++
+        (0 until 90).map(i => (100L + i, noisy(centers(i % 3), 0.08))) ++
+        (0 until 400).map(i => (1000L + i, Array.fill(dim)(r.double(-1, 1))))
+    val vecs = rows.toDF("vec_id", "v")
+    val queries = centers.zipWithIndex.map { case (c, i) => Ann.EmbQuery(i.toLong, c) }.toSeq
+
+    // pruning: candidates must be well under the full Q x N cross product
+    val nCand = Ann.lshCandidates(vecs, queries, nBits = 16, bands = 4).count()
+    val full = queries.size.toLong * rows.size
+    assert(nCand < full / 2, s"no pruning: $nCand of $full pairs are candidates")
+
+    // exactness on the clustered region: LSH top-10 == brute-force top-10
+    val got = Ann.lshTopKFrom(vecs, queries, k = 10)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+    val want = queries.flatMap { q =>
+      rows.map { case (id, v) => (id, Ann.cosine(q.vec, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(10).zipWithIndex
+        .map { case ((id, _), i) => (q.qid, id, i + 1) }
+    }.toSet
+    assert(got == want)
+  }
+}
+
 class CoreOpsSpec extends AnyFunSuite {
   import org.apache.spark.sql.functions._
   lazy val spark: SparkSession = TestSpark.spark
