@@ -147,6 +147,33 @@ object OracleSql {
        |FROM o WHERE e IS NOT NULL OR k = nv-1""".stripMargin
   }
 
+  /** Analytic oracle for q43 (old-schema MV_BEFORE/MV_AFTER/DELETION interval
+    * filters, docs/js/map.js:244-271) over the same generator. */
+  def q43(n: Int, start: Long, end: Long): String =
+    s"""WITH ${q34Ev(n)},
+       |st AS (
+       |  SELECT *, 1500000000 + id*1000 + k*10 AS vs,
+       |    CASE WHEN k=0 THEN 'CRE'
+       |         WHEN kind=9 THEN 'DEL'
+       |         WHEN kind IN (5,6) THEN 'MAG'
+       |         WHEN kind <= 4 THEN 'MAV'
+       |         WHEN (NOT restr) AND (kind=7 OR (kind=8 AND etype='relation')) THEN 'MIV'
+       |         ELSE NULL END AS e
+       |  FROM ev),
+       |o AS (SELECT e, vs,
+       |        CASE WHEN e='DEL' THEN vs+1 WHEN k = nv-1 THEN NULL ELSE vs+10 END AS vu
+       |      FROM st WHERE e IN ('MIV','DEL')),
+       |f AS (
+       |  SELECT 'MV_BEFORE' AS edit, NULL::BIGINT AS valid_since, vs AS valid_until FROM o WHERE e='MIV'
+       |  UNION ALL SELECT 'MV_AFTER', vs, vu FROM o WHERE e='MIV'
+       |  UNION ALL SELECT 'DELETION', vs, vu FROM o WHERE e='DEL')
+       |SELECT edit, count(*)::BIGINT AS n,
+       |  min(valid_until)::BIGINT AS min_until, max(valid_until)::BIGINT AS max_until
+       |FROM f WHERE (edit='MV_BEFORE' AND valid_until > $start)
+       |   OR (edit='MV_AFTER' AND valid_since >= $start AND valid_since < $end)
+       |   OR (edit='DELETION' AND valid_until > $start AND valid_until < $end)
+       |GROUP BY 1""".stripMargin
+
   /** Analytic oracle for q39 (map-column tag-KEY filter rollup). */
   def q39(n: Int): String = {
     val (verK, _, _) = q34State("k")

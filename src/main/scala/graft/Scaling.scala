@@ -30,10 +30,41 @@ object Scaling {
     ImagePipeline.run(spark, 200000L, cpus * 4).count()
     Validate.summary(ImagePipeline.synthTable(spark, 60000L, cpus * 4).toDF()).count()
 
-    val tPipe = (1 to 3).map(_ => timed(ImagePipeline.run(spark, nFeat, cpus * 4).count())).min
-    val tVal = (1 to 3).map(_ =>
-      timed(Validate.summary(ImagePipeline.synthTable(spark, nImg, cpus * 4).toDF()).count())).min
-    println(s"""{"cpus":$cpus,"pipeline_rps":${(nFeat / tPipe).round},"validate_rps":${(nImg / tVal).round}}""")
+    // hypervisor steal around the timed section: the sandbox host is an
+    // oversubscribed VM and a stolen window silently corrupts a leg (observed
+    // 3x swings); the harness retries legs whose steal fraction is high
+    def cpuStat(): (Long, Long) = {
+      val f = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val c = f.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+        val steal = if (c.length > 7) c(7) else 0L
+        (c.take(8).sum, steal)
+      } finally f.close()
+    } // (busy+idle ticks, steal ticks)
+
+    // convergence warm-up: at 32 threads the first FULL-SIZE executions can
+    // run 10-100x slow (measured: 384 s → 42 s → 5.0 s → 4.7 s — a C2/codegen/
+    // heap-expansion thundering herd that the small warm-up above does not
+    // trigger). Measured reps only start once two consecutive runs agree
+    // within 20%, so a leg can never be contaminated by the transient.
+    def steadyMin(label: String, reps: Int)(f: => Unit): Double = {
+      var prev = timed(f)
+      var cur = timed(f)
+      var tries = 0
+      while (tries < 6 && math.abs(prev - cur) / math.max(prev, cur) > 0.2) {
+        prev = cur; cur = timed(f); tries += 1
+        System.err.println(f"[scaling warm] $label attempt $tries: $cur%.2f s")
+      }
+      (1 to reps).map(_ => timed(f)).min
+    }
+
+    val (t0All, t0Steal) = cpuStat()
+    val tPipe = steadyMin("pipeline", 3)(ImagePipeline.run(spark, nFeat, cpus * 4).count())
+    val tVal = steadyMin("validate", 3)(
+      Validate.summary(ImagePipeline.synthTable(spark, nImg, cpus * 4).toDF()).count())
+    val (t1All, t1Steal) = cpuStat()
+    val stealPct = if (t1All > t0All) 100.0 * (t1Steal - t0Steal) / (t1All - t0All) else 0.0
+    println(s"""{"cpus":$cpus,"pipeline_rps":${(nFeat / tPipe).round},"validate_rps":${(nImg / tVal).round},"steal_pct":${math.round(stealPct * 10) / 10.0}}""")
     spark.stop()
   }
 }

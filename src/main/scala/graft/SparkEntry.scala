@@ -130,6 +130,30 @@ object SparkEntry {
       exploded.join(broadcast(resolved), Seq("key"))
         .groupBy(col("key")).agg(count(lit(1)).as("n_rows"))
     }),
+    // old-schema temporal interval filters (docs/js/map.js:244-271): the
+    // viewer's MV_BEFORE / MV_AFTER / DELETION layers re-expressed — minor
+    // edits expand into before/after features with valid-interval bounds,
+    // then each layer's range predicate applies
+    "q43_interval_filters" -> ((s: SparkSession, _: String) => {
+      import org.apache.spark.sql.functions._
+      val inter = graft.ops.Interactions.classify(
+        graft.ops.Interactions.synthVersions(s, 500).toDF())
+      val start = 1500150000L; val end = 1500300000L
+      val mv = inter.filter(col("e") === "MIV")
+      val before = mv.select(lit("MV_BEFORE").as("edit"),
+        lit(null).cast("long").as("valid_since"), col("vs").as("valid_until"))
+      val after = mv.select(lit("MV_AFTER").as("edit"),
+        col("vs").as("valid_since"), col("vu").as("valid_until"))
+      val del = inter.filter(col("e") === "DEL").select(lit("DELETION").as("edit"),
+        col("vs").as("valid_since"), col("vu").as("valid_until"))
+      val feats = before.unionByName(after).unionByName(del)
+      feats.filter(
+        (col("edit") === "MV_BEFORE" && col("valid_until") > start) ||
+        (col("edit") === "MV_AFTER" && col("valid_since") >= start && col("valid_since") < end) ||
+        (col("edit") === "DELETION" && col("valid_until") > start && col("valid_until") < end))
+        .groupBy(col("edit")).agg(count(lit(1)).as("n"),
+          min(col("valid_until")).as("min_until"), max(col("valid_until")).as("max_until"))
+    }),
     // J8: changeset↔object join by changeset id — objects enriched with their
     // changeset's aggregate properties (the reference joins QA-tile features
     // to changeset metadata via @c), then rolled up
@@ -410,6 +434,7 @@ object SparkEntry {
     // formulas — fully independent of the Spark window-algebra implementation
     "q34_interactions_versions" -> OracleSql.q34(500),
     "q39_tag_key_filter" -> OracleSql.q39(500),
+    "q43_interval_filters" -> OracleSql.q43(500, 1500150000L, 1500300000L),
     "q35_roster_rollup" -> graft.ops.Roster.rosterRollupOracle,
     "q36_centroid" ->
       s"""WITH p AS ($pts)
