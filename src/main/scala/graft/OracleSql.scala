@@ -314,6 +314,19 @@ object OracleSql {
        |SELECT qid, vec_id, rank::INT AS rank FROM rk WHERE rank <= $k""".stripMargin
   }
 
+  /** Oracle for q44 (embedding-cosine near-dup): all pairs with cosine ≥
+    * threshold, cosine computed with the same left-to-right dot reduction as
+    * the Scala kernel for FP bit-parity. */
+  def q44(minCos: Double): String = {
+    def dot(a: String, b: String) =
+      s"list_reduce(list_transform(range(1, 65), i -> ($a)[i] * ($b)[i]), (x, y) -> x + y)"
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |p AS (SELECT l.vec_id AS a, r.vec_id AS b,
+       |        ${dot("l.e", "r.e")} / (sqrt(${dot("l.e", "l.e")}) * sqrt(${dot("r.e", "r.e")})) AS c
+       |      FROM v l JOIN v r ON l.vec_id < r.vec_id)
+       |SELECT a, b, floor(c * 10000.0 + 0.5)::BIGINT AS cos_e4 FROM p WHERE c >= $minCos""".stripMargin
+  }
+
   /** graft.text.Dedup.simhash64 over the `documents` table → CTE text
     * defining `sim(doc_id, sh)` (sh as UBIGINT; bit-identical to the Scala
     * signed long). */

@@ -59,6 +59,10 @@ object SparkEntry {
     // ANN over embeddings
     "q30_ann_brute" -> ((s: SparkSession, d: String) => Ann.bruteTopK(s, d)),
     "q31_ann_lsh" -> ((s: SparkSession, d: String) => Ann.lshTopK(s, d)),
+    // embedding-cosine near-dup: dedup-grade exact pair extraction over the
+    // embeddings table (broadcast nested-loop; LSH prefilter tier documented
+    // in Ann.cosineNearDupPairs)
+    "q44_embed_neardup" -> ((s: SparkSession, d: String) => Ann.cosineNearDupPairs(s, d)),
     // image pipeline (north_rule flagship; input synthesized deterministically)
     "q32_image_tile_pivot" -> ((s: SparkSession, _: String) => ImagePipeline.run(s, 2000L, 16)),
     // the same rollup with teams DISCOVERED dynamically via pivot() over the
@@ -414,6 +418,7 @@ object SparkEntry {
     // q31's oracle replicates the WHOLE LSH pipeline in SQL (inlined plane
     // constants, signatures, banding, dedup, exact rerank) — see OracleSql.q31
     "q31_ann_lsh" -> OracleSql.q31(graft.ann.Ann.hyperplanes(16, 64)),
+    "q44_embed_neardup" -> OracleSql.q44(0.45),
     // sketch queries verified by a REAL oracle: OracleSql reproduces the
     // engine's from-scratch 64-bit hashing (FNV-1a, rotl, splitmix64) in
     // DuckDB via wrap-around 32-bit-half multiplication

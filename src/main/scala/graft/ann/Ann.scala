@@ -105,6 +105,28 @@ object Ann {
               nBits: Int = 16, bands: Int = 4): DataFrame =
     lshTopKFrom(loadVecs(spark, dir), queriesFrom(spark, dir, q), k, nBits, bands)
 
+  /** Embedding-cosine near-dup: ALL pairs with cosine ≥ threshold — the exact
+    * dedup-grade variant (reports in e4 fixed-point so the oracle hash is
+    * FP-stable). Plan: the right side broadcasts (vec_id, v) and each left
+    * partition streams the pair space with a bounded inner loop — an exact
+    * block-nested-loop with no shuffle at all. At 10^12 rows this becomes the
+    * verification tier over [[lshCandidates]] buckets (same cosine kernel);
+    * on an unclustered corpus like this one an LSH prefilter at a usable
+    * threshold cannot guarantee recall, so the gate runs the exact tier. */
+  def cosineNearDupPairs(spark: SparkSession, dir: String, minCos: Double = 0.45): DataFrame = {
+    val vecs = loadVecs(spark, dir)
+    val l = vecs.select(col("vec_id").as("a"), col("v").as("va"))
+    val r = vecs.select(col("vec_id").as("b"), col("v").as("vb"))
+    val cosU = udf { (x: Seq[Double], y: Seq[Double]) => cosine(x.toArray, y.toArray) }
+    // BroadcastNestedLoopJoin: the dimension side ships once, the big side
+    // streams — zero shuffle; the id< predicate halves the pair space
+    l.join(broadcast(r), col("a") < col("b"))
+      .withColumn("cos", cosU(col("va"), col("vb")))
+      .filter(col("cos") >= minCos)
+      .select(col("a"), col("b"),
+        floor(col("cos") * 10000.0 + 0.5).cast("long").as("cos_e4"))
+  }
+
   /** Candidate id pairs (qid, vec_id) from the band join — only
     * (vec_id, band, vband) rows ever move; no embedding in the exchange. */
   def lshCandidates(vecs: DataFrame, queries: Seq[EmbQuery],
