@@ -36,6 +36,19 @@ public final class Statics {
     return (int) ((m & 0x7FFFFFFFL) % 4L);
   }
 
+  /** Feature-class noun ordinal (caption noun) 0..5. */
+  public static int metaNounId(long i) {
+    return graft.synth.ImageSynth$.MODULE$.nounIdOf(seedOf(i));
+  }
+
+  public static double segDLon(long i) {
+    return graft.synth.ImageSynth$.MODULE$.segDLon(seedOf(i));
+  }
+
+  public static double segDLat(long i) {
+    return graft.synth.ImageSynth$.MODULE$.segDLat(seedOf(i));
+  }
+
   public static long hexCell(double lat, double lon, int res) {
     return graft.index.Hex$.MODULE$.latLngToCell(lat, lon, res);
   }

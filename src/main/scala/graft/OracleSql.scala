@@ -205,7 +205,8 @@ object OracleSql {
     * columns idx, seed, sel, hdx, hdy, hlon, hlat, huid, hteam. */
   private def geotagCtes(n: Long): String = {
     val hashes = Seq(("sel", 41), ("hdx", 43), ("hdy", 47), ("hlon", 53),
-      ("hlat", 59), ("huid", 17), ("hteam", 19))
+      ("hlat", 59), ("huid", 17), ("hteam", 19),
+      ("hnoun", 13), ("hsdx", 61), ("hsdy", 67), ("hday", 23))
     val ctes = scala.collection.mutable.ArrayBuffer(
       s"i AS (SELECT unnest(range(0, $n)) AS idx)")
     var prev = "i"
@@ -235,14 +236,19 @@ object OracleSql {
        |  CAST(hdx & 1048575 AS DOUBLE) AS dxv, CAST(hdy & 1048575 AS DOUBLE) AS dyv,
        |  CAST(hlon & 16777215 AS DOUBLE) AS lonv, CAST(hlat & 16777215 AS DOUBLE) AS latv,
        |  ((huid & 2147483647) % 500)::BIGINT AS uid,
-       |  ['kll','msf','dcx','hot'][((hteam & 2147483647) % 4)::INT + 1] AS team
+       |  ['kll','msf','dcx','hot'][((hteam & 2147483647) % 4)::INT + 1] AS team,
+       |  ((hnoun & 2147483647) % 6)::INT AS noun_id,
+       |  CAST(hsdx & 1048575 AS DOUBLE) AS sdxv, CAST(hsdy & 1048575 AS DOUBLE) AS sdyv,
+       |  (18000 + (hday & 2147483647) % 365)::BIGINT AS day
        |FROM st3),
        |m AS (SELECT *,
        |  CASE midx WHEN 0 THEN -122.42 WHEN 1 THEN 2.35 ELSE 106.85 END AS mlon,
        |  CASE midx WHEN 0 THEN 37.77 WHEN 1 THEN 48.86 ELSE -6.21 END AS mlat,
        |  CASE midx WHEN 0 THEN 0.35 WHEN 1 THEN 0.25 ELSE 0.45 END AS spread
        |FROM g),
-       |pt AS (SELECT idx, uid, team,
+       |pt AS (SELECT idx, uid, team, noun_id, day,
+       |  (sdxv / 1048575.0 - 0.5) * 0.02 AS sdlon,
+       |  (sdyv / 1048575.0 - 0.5) * 0.02 AS sdlat,
        |  CASE WHEN is_metro THEN mlon + ((dxv / 1048575.0 - 0.5) * 2) * spread
        |       ELSE (lonv / 16777215.0) * 360.0 - 180.0 END AS lon,
        |  CASE WHEN is_metro THEN mlat + ((dyv / 1048575.0 - 0.5) * 2) * spread
@@ -275,6 +281,58 @@ object OracleSql {
        |  count(*)::BIGINT AS team_sum_e,
        |  count(DISTINCT uid)::BIGINT AS n_users
        |FROM pj WHERE boundary_id IS NOT NULL GROUP BY 1, 2""".stripMargin
+
+  /** Full replica oracle for q45 (tilePointSummaries measure matrix):
+    * seed-derived noun class + synthetic segment + haversine km (identical FP
+    * operation order to SpatialQueries.haversineKmCol — radians spelled as
+    * (x/180)*pi, left-assoc products, least(1,sqrt), e6 fixed-point per
+    * segment before summing), tile totals over all features, per-team +
+    * team_sum measures over rostered (uid%5≠0) rows. */
+  def q45(n: Long): String = {
+    // haversineKmCol(lat, lon, lat+sdlat, lon+sdlon) term-for-term
+    val sLat = "sin(((((lat + sdlat) - lat)/180.0)*pi())/2)"
+    val sLon = "sin(((((lon + sdlon) - lon)/180.0)*pi())/2)"
+    val km = s"2*6371.0088*asin(least(1.0, sqrt($sLat*$sLat + cos((lat/180.0)*pi())*cos(((lat + sdlat)/180.0)*pi())*$sLon*$sLon)))"
+    val teams = Seq("kll", "msf", "dcx", "hot")
+    val teamCols = teams.map { t =>
+      s"""  sum(CASE WHEN rostered AND team='$t' THEN 1 ELSE 0 END)::BIGINT AS ${t}_e,
+         |  sum(CASE WHEN rostered AND team='$t' THEN km_e6 ELSE 0 END)::BIGINT AS ${t}_km_e6,
+         |  sum(CASE WHEN rostered AND team='$t' THEN is_b ELSE 0 END)::BIGINT AS ${t}_b,
+         |  sum(CASE WHEN rostered AND team='$t' THEN is_p ELSE 0 END)::BIGINT AS ${t}_p,""".stripMargin
+    }.mkString("\n")
+    s"""WITH ${pipelineCtes(n)},
+       |feat AS (SELECT tile, team, (uid % 5 <> 0) AS rostered,
+       |  CASE WHEN noun_id = 1 THEN floor($km * 1000000.0 + 0.5)::BIGINT ELSE 0 END AS km_e6,
+       |  CASE WHEN noun_id = 0 THEN 1 ELSE 0 END AS is_b,
+       |  CASE WHEN noun_id IN (3, 4) THEN 1 ELSE 0 END AS is_p
+       |FROM pj WHERE boundary_id IS NOT NULL)
+       |SELECT tile,
+       |  count(*)::BIGINT AS total_features, sum(km_e6)::BIGINT AS total_km_e6,
+       |  sum(is_b)::BIGINT AS total_b, sum(is_p)::BIGINT AS total_p,
+       |$teamCols
+       |  sum(CASE WHEN rostered THEN 1 ELSE 0 END)::BIGINT AS team_sum_e,
+       |  sum(CASE WHEN rostered THEN km_e6 ELSE 0 END)::BIGINT AS team_sum_km_e6,
+       |  sum(CASE WHEN rostered THEN is_b ELSE 0 END)::BIGINT AS team_sum_b,
+       |  sum(CASE WHEN rostered THEN is_p ELSE 0 END)::BIGINT AS team_sum_p
+       |FROM feat GROUP BY 1""".stripMargin
+  }
+
+  /** Replica oracle for q46 (userDailyPointSummaries Aggregator layer):
+    * per-(uid, day) centroid over the PIP-joined features. Coordinates are
+    * pre-rounded to integer-valued e6 doubles on BOTH sides, so the sums are
+    * exact in any accumulation order and the Aggregator's distributed merge
+    * cannot perturb the hash; the final mean is one correctly-rounded
+    * division each side. */
+  def q46(n: Long): String =
+    s"""WITH ${pipelineCtes(n)},
+       |c AS (SELECT uid, day,
+       |        floor(lon * 1000000.0 + 0.5) AS lon_e6, floor(lat * 1000000.0 + 0.5) AS lat_e6
+       |      FROM pj WHERE boundary_id IS NOT NULL)
+       |SELECT uid, day,
+       |  floor(sum(lon_e6) / count(*) + 0.5)::BIGINT AS c_lon_e6,
+       |  floor(sum(lat_e6) / count(*) + 0.5)::BIGINT AS c_lat_e6,
+       |  count(*)::BIGINT AS n_pts
+       |FROM c GROUP BY 1, 2""".stripMargin
 
   // ---- q31: full ANN-LSH replica oracle ------------------------------------
 
@@ -313,6 +371,23 @@ object OracleSql {
        |rk AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM rer)
        |SELECT qid, vec_id, rank::INT AS rank FROM rk WHERE rank <= $k""".stripMargin
   }
+
+  /** Oracle for q48 (ANN-LSH recall certification): brute-force top-k via
+    * DuckDB's own cosine (independent of the engine) left-joined with the
+    * q31 LSH replica; per-query hit counts and recall in basis points. */
+  def q48(planes: Array[Array[Double]], q: Int = 5, k: Int = 10, bands: Int = 4): String =
+    s"""WITH brute AS (
+       |  WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |  q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < $q),
+       |  d AS (SELECT q.qid, v.vec_id, list_cosine_similarity(q.qe, v.e) AS c FROM v CROSS JOIN q),
+       |  r AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rk FROM d)
+       |  SELECT qid, vec_id FROM r WHERE rk <= $k),
+       |lsh AS (${q31(planes, q, k, bands)})
+       |SELECT b.qid, count(*)::BIGINT AS k_total,
+       |  sum(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+       |  floor(sum(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 10000.0 / count(*))::BIGINT AS recall_bp
+       |FROM brute b LEFT JOIN lsh l ON b.qid = l.qid AND b.vec_id = l.vec_id
+       |GROUP BY 1""".stripMargin
 
   /** Oracle for q44 (embedding-cosine near-dup): all pairs with cosine ≥
     * threshold, cosine computed with the same left-to-right dot reduction as

@@ -60,8 +60,8 @@ object SparkEntry {
     "q30_ann_brute" -> ((s: SparkSession, d: String) => Ann.bruteTopK(s, d)),
     "q31_ann_lsh" -> ((s: SparkSession, d: String) => Ann.lshTopK(s, d)),
     // embedding-cosine near-dup: dedup-grade exact pair extraction over the
-    // embeddings table (broadcast nested-loop; LSH prefilter tier documented
-    // in Ann.cosineNearDupPairs)
+    // embeddings table (block-pair partitioned all-pairs; the LSH prefilter
+    // tier and when it applies are documented in Ann.cosineNearDupPairs)
     "q44_embed_neardup" -> ((s: SparkSession, d: String) => Ann.cosineNearDupPairs(s, d)),
     // image pipeline (north_rule flagship; input synthesized deterministically)
     "q32_image_tile_pivot" -> ((s: SparkSession, _: String) => ImagePipeline.run(s, 2000L, 16)),
@@ -70,6 +70,18 @@ object SparkEntry {
     "q38_team_pivot_dynamic" -> ((s: SparkSession, _: String) =>
       ImagePipeline.tileTeamPivotDynamic(ImagePipeline.pipJoin(
         ImagePipeline.features(s, 2000L, 16), ImagePipeline.metroBoundaries))),
+    // the FULL tilePointSummaries measure matrix: tile totals + dynamic
+    // per-team km/b/p/e pivot + team_sum rollups (extractor.js:279-313)
+    "q45_tile_measure_matrix" -> ((s: SparkSession, _: String) =>
+      ImagePipeline.tileMeasureMatrix(s, 2000L, 16)),
+    // userDailyPointSummaries through the typed WeightedCentroid Aggregator
+    "q46_centroid_agg" -> ((s: SparkSession, _: String) =>
+      ImagePipeline.userDailyCentroidGate(s, 2000L, 16)),
+    // geojsonseq sink: emit real feature lines, parse back, content invariants
+    "q47_geojson_sink" -> ((s: SparkSession, d: String) =>
+      graft.geo.GeoJson.roundTripSummary(graft.spatial.SpatialQueries.eventPoints(s, d))),
+    // LSH recall vs exact brute, measured in-gate (self-certifies q31)
+    "q48_ann_lsh_recall" -> ((s: SparkSession, d: String) => Ann.lshRecall(s, d)),
     "q33_image_validate" -> ((s: SparkSession, _: String) =>
       Validate.summary(ImagePipeline.synthTable(s, 2000L, 16).toDF())),
     // full reference classifier over the closed-form synthetic versions table;
@@ -435,6 +447,19 @@ object SparkEntry {
     // pivot must produce the identical relation (column order differs only)
     "q32_image_tile_pivot" -> OracleSql.q32(2000),
     "q38_team_pivot_dynamic" -> OracleSql.q32(2000),
+    "q45_tile_measure_matrix" -> OracleSql.q45(2000),
+    "q46_centroid_agg" -> OracleSql.q46(2000),
+    // the sink round-trip invariants recomputed straight from the raw rows
+    "q47_geojson_sink" ->
+      s"""WITH p AS ($pts)
+         SELECT count(*)::BIGINT AS n_features, count(*)::BIGINT AS n_wellformed,
+           sum(floor(lon * 1000000.0 + 0.5)::BIGINT)::BIGINT AS sum_lon_e6,
+           sum(floor(lat * 1000000.0 + 0.5)::BIGINT)::BIGINT AS sum_lat_e6,
+           sum(event_id)::BIGINT AS sum_event_id,
+           count(DISTINCT event_type)::BIGINT AS n_types,
+           sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS value_cents
+         FROM p""",
+    "q48_ann_lsh_recall" -> OracleSql.q48(graft.ann.Ann.hyperplanes(16, 64)),
     // the classifier's output is re-derived ANALYTICALLY from the generator
     // formulas — fully independent of the Spark window-algebra implementation
     "q34_interactions_versions" -> OracleSql.q34(500),

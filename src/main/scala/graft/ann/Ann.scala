@@ -201,6 +201,24 @@ object Ann {
       .select(col("qid"), col("vec_id")).distinct()
   }
 
+  /** Self-certifying LSH gate: per-query recall of [[lshTopK]] against the
+    * exact [[bruteTopK]] top-k, emitted as gate rows — the measured recall
+    * itself is oracle-pinned, so any drift in the LSH pipeline (signatures,
+    * banding, rerank) breaks the hash even when q31's replica oracle would
+    * drift in lock-step. */
+  def lshRecall(spark: SparkSession, dir: String, q: Int = 5, k: Int = 10,
+                nBits: Int = 16, bands: Int = 4): DataFrame = {
+    val lsh = lshTopK(spark, dir, q, k, nBits, bands)
+      .select(col("qid"), col("vec_id")).withColumn("hit", lit(1L))
+    val brute = bruteTopK(spark, dir, q, k).select(col("qid"), col("vec_id"))
+    brute.join(lsh, Seq("qid", "vec_id"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("k_total"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall_bp",
+        floor(col("n_hit") * lit(10000.0) / col("k_total")).cast("long"))
+  }
+
   def lshTopKFrom(vecs: DataFrame, queries: Seq[EmbQuery], k: Int,
                   nBits: Int = 16, bands: Int = 4): DataFrame = {
     val spark = vecs.sparkSession

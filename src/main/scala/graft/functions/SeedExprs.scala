@@ -30,6 +30,9 @@ case class SeedScalar(child: Expression, fn: String, resultType: DataType)
       case "metaUid" => Statics.metaUid(i)
       case "metaDay" => Statics.metaDay(i)
       case "metaTeamId" => Statics.metaTeamId(i)
+      case "metaNounId" => Statics.metaNounId(i)
+      case "segDLon" => Statics.segDLon(i)
+      case "segDLat" => Statics.segDLat(i)
     }
   }
 
@@ -89,6 +92,9 @@ object SeedExprs {
   def metaUid(idx: Column): Column = co(SeedScalar(ex(idx), "metaUid", LongType))
   def metaDay(idx: Column): Column = co(SeedScalar(ex(idx), "metaDay", LongType))
   def metaTeamId(idx: Column): Column = co(SeedScalar(ex(idx), "metaTeamId", IntegerType))
+  def metaNounId(idx: Column): Column = co(SeedScalar(ex(idx), "metaNounId", IntegerType))
+  def segDLon(idx: Column): Column = co(SeedScalar(ex(idx), "segDLon", DoubleType))
+  def segDLat(idx: Column): Column = co(SeedScalar(ex(idx), "segDLat", DoubleType))
   def hexCell(lat: Column, lon: Column, res: Int): Column =
     co(CellScalar(ex(lat), ex(lon), res, "hexCell"))
   def s2Cell(lat: Column, lon: Column, level: Int): Column =

@@ -55,6 +55,32 @@ object GeoJson {
     s"""{"type":"Feature","properties":{$kv},"geometry":$geometry}"""
   }
 
+  /** Gate shape for the geojsonseq sink: run the REAL emission path
+    * ([[pointFeatures]]) over the event points, parse every emitted line BACK
+    * with `from_json`, and aggregate invariants the DuckDB oracle recomputes
+    * from the raw rows. A hash match proves each line is well-formed JSON
+    * with the Feature/Point structure, that the shortest-roundtrip numeric
+    * formatting loses no precision (parse-back equals the source doubles, or
+    * the e6/cents sums diverge), and that every property survives emission —
+    * content-level verification of the sink without pinning bytes. */
+  def roundTripSummary(pts: DataFrame): DataFrame = {
+    val spark = pts.sparkSession
+    val lines = pointFeatures(pts)
+    val ddl = "type STRING, properties STRUCT<event_id: BIGINT, event_type: STRING, " +
+      "user_id: BIGINT, value: DOUBLE>, geometry STRUCT<type: STRING, coordinates: ARRAY<DOUBLE>>"
+    lines.toDF("line")
+      .select(from_json(col("line"), ddl, java.util.Collections.emptyMap[String, String]()).as("f"))
+      .agg(
+        count(lit(1)).as("n_features"),
+        sum(when(col("f.type") === "Feature" && col("f.geometry.type") === "Point" &&
+          size(col("f.geometry.coordinates")) === 2, 1L).otherwise(0L)).as("n_wellformed"),
+        sum(floor(element_at(col("f.geometry.coordinates"), 1) * lit(1e6) + lit(0.5))).as("sum_lon_e6"),
+        sum(floor(element_at(col("f.geometry.coordinates"), 2) * lit(1e6) + lit(0.5))).as("sum_lat_e6"),
+        sum(col("f.properties.event_id")).as("sum_event_id"),
+        countDistinct(col("f.properties.event_type")).as("n_types"),
+        sum(floor(col("f.properties.value") * lit(100) + lit(0.5))).as("value_cents"))
+  }
+
   /** Point-feature geojsonseq lines from a DataFrame with lon/lat columns;
     * remaining columns become properties. Write with `.write.text(path)`. */
   def pointFeatures(df: DataFrame, lonCol: String = "lon", latCol: String = "lat"): Dataset[String] = {

@@ -168,6 +168,89 @@ object ImagePipeline {
       .toDF("uid", "day", "c_lon", "c_lat")
   }
 
+  /** Gate shape for the Aggregator centroid layer (userDailyPointSummaries,
+    * map-contribution-extractor.js:201-228): per-(uid, day) centroid of the
+    * PIP-joined features, computed through the typed [[graft.geo.WeightedCentroid]]
+    * Aggregator. Coordinates are PRE-ROUNDED to integer-valued e6 doubles:
+    * sums of integer-valued doubles below 2^53 are exact in ANY accumulation
+    * order, so the distributed partial-merge order cannot perturb the oracle
+    * hash, and the final mean is a single correctly-rounded division on both
+    * sides. The shuffle carries the 3-double CentroidBuf per group — geometry
+    * never moves. */
+  def userDailyCentroidGate(spark: SparkSession, n: Long, parts: Int = 16): DataFrame = {
+    import spark.implicits._
+    val joined = pipJoin(features(spark, n, parts), metroBoundaries)
+    joined.select(col("uid"), col("day"),
+        floor(col("lon") * lit(1e6) + lit(0.5)).cast("double").as("lon_e6"),
+        floor(col("lat") * lit(1e6) + lit(0.5)).cast("double").as("lat_e6"))
+      .as[(Long, Long, Double, Double)]
+      .groupByKey { case (uid, day, _, _) => (uid, day) }
+      .mapValues { case (_, _, x, y) => (x, y, 1.0) }
+      .agg(graft.geo.WeightedCentroid.column, count(lit(1)).as[Long])
+      .map { case ((uid, day), c, n_pts) =>
+        (uid, day, math.floor(c.lon + 0.5).toLong, math.floor(c.lat + 0.5).toLong, n_pts)
+      }
+      .toDF("uid", "day", "c_lon_e6", "c_lat_e6", "n_pts")
+  }
+
+  /** The reference's FULL tilePointSummaries measure matrix
+    * (util/map-contribution-extractor.js:279-313; counters :21-62): per tile,
+    * the four measures — highway-km (haversine over the feature's synthetic
+    * track segment), buildings, POIs, edits — as tile totals over ALL
+    * features, per-team `<team>_km/_b/_p/_e` columns for teams DISCOVERED in
+    * the data (the reference iterates whatever teams exist), and
+    * `team_sum_*` totals over rostered contributions. "Rostered" (uid%5≠0)
+    * mirrors the reference's roster asymmetry: tile totals count every
+    * feature, team columns only roster members' edits (js:96-144 vs :282).
+    * km reports in e6 fixed-point, rounded per segment THEN summed as longs,
+    * so sums are addition-order-free and the DuckDB oracle hash is FP-stable.
+    *
+    * Shuffle discipline: ONE full-width shuffle — the partial-agg'd
+    * pre-rollup on (tile, team, rostered) — after which the pivot/totals
+    * operate on ~|tiles|·|teams|·2 rows. The pivot's team-discovery pass runs
+    * on the pre-rollup, not the feature table; at 100 TB pass the known team
+    * list to `pivot(col, values)` and the discovery job disappears. */
+  def tileMeasureMatrix(spark: SparkSession, n: Long, parts: Int = 16): DataFrame = {
+    import graft.functions.SeedExprs
+    val index = new BoundaryIndex(metroBoundaries.toArray)
+    val f = fastFeatures(spark, n, parts)
+      .withColumn("b_ord", SeedExprs.pipOrdinal(col("lon"), col("lat"), index))
+      .filter(col("b_ord") >= 0)
+      .withColumn("noun_id", SeedExprs.metaNounId(col("idx")))
+      .withColumn("dlon", SeedExprs.segDLon(col("idx")))
+      .withColumn("dlat", SeedExprs.segDLat(col("idx")))
+      .withColumn("team", element_at(lit(teamNames.toArray), col("team_id") + 1))
+    val kmE6 = when(col("noun_id") === 1,
+      floor(graft.spatial.SpatialQueries.haversineKmCol(
+        col("lat"), col("lon"), col("lat") + col("dlat"), col("lon") + col("dlon"))
+        * lit(1e6) + lit(0.5)).cast("long")).otherwise(0L)
+    val pre = f
+      .withColumn("km_e6", kmE6)
+      .withColumn("is_b", when(col("noun_id") === 0, 1L).otherwise(0L))
+      .withColumn("is_p", when(col("noun_id").isin(3, 4), 1L).otherwise(0L))
+      .withColumn("rostered", col("uid") % 5 =!= 0)
+      .groupBy(col("tile"), col("team"), col("rostered"))
+      .agg(count(lit(1)).as("e"), sum("km_e6").as("km_e6"),
+        sum("is_b").as("b"), sum("is_p").as("p"))
+    val totals = pre.groupBy(col("tile")).agg(
+      sum("e").as("total_features"), sum("km_e6").as("total_km_e6"),
+      sum("b").as("total_b"), sum("p").as("total_p"))
+    val rost = pre.filter(col("rostered"))
+    val teamCols = rost.groupBy(col("tile")).pivot("team")
+      .agg(sum("e").as("e"), sum("km_e6").as("km_e6"),
+        sum("b").as("b"), sum("p").as("p"))
+    val teamSums = rost.groupBy(col("tile")).agg(
+      sum("e").as("team_sum_e"), sum("km_e6").as("team_sum_km_e6"),
+      sum("b").as("team_sum_b"), sum("p").as("team_sum_p"))
+    val joined = totals
+      .join(teamCols, Seq("tile"), "left")
+      .join(teamSums, Seq("tile"), "left")
+    // absent team/roster cells are 0, like the reference's zero-initialized
+    // teamTileTotals accumulators
+    joined.columns.filterNot(c => c == "tile" || c.startsWith("total_"))
+      .foldLeft(joined)((df, c) => df.withColumn(c, coalesce(col(c), lit(0L))))
+  }
+
   // ---- codegen fast path -----------------------------------------------
 
   /** Feature derivation as pure codegen expressions (graft.functions): the

@@ -151,9 +151,28 @@ object ImageSynth {
     ios.toByteArray
   }
 
+  /** Feature-class noun ordinal — the SAME `mix(seed^13)` draw [[captionOf]]
+    * uses, so a row's caption noun IS its feature class: 0=building,
+    * 1=highway, 2=landuse, 3=amenity, 4=boundary, 5=waterway. The tile
+    * measure matrix maps these onto the reference's counter predicates
+    * (util/map-contribution-extractor.js:21-62): highway→km, building→b,
+    * amenity|boundary→poi (the reference's `!highway && (amenity||name)`
+    * two-way qualification). */
+  def nounIdOf(seed: Long): Int =
+    (mix(seed ^ 13) & 0x7FFFFFFF).toInt % CaptionNouns.length
+
+  /** Deterministic synthetic track segment for a "highway" feature: the
+    * (dlon, dlat) offset of its second endpoint (≲0.01°, so segments stay
+    * local to their tile) — the engine's analog of the reference's LineString
+    * whose turf.lineDistance feeds the km counters. */
+  def segDLon(seed: Long): Double =
+    (((mix(seed ^ 61) & 0xFFFFF).toDouble / 0xFFFFF) - 0.5) * 0.02
+  def segDLat(seed: Long): Double =
+    (((mix(seed ^ 67) & 0xFFFFF).toDouble / 0xFFFFF) - 0.5) * 0.02
+
   def captionOf(seed: Long, uid: Long, team: String, day: Long): String = {
     val v = CaptionVerbs((mix(seed ^ 11) & 0x7FFFFFFF).toInt % CaptionVerbs.length)
-    val n = CaptionNouns((mix(seed ^ 13) & 0x7FFFFFFF).toInt % CaptionNouns.length)
+    val n = CaptionNouns(nounIdOf(seed))
     s"user$uid of $team $v $n on day $day"
   }
 

@@ -133,9 +133,8 @@ object Dedup {
     * The gate oracle computes all-pairs exact Jaccard in SQL — so the gate
     * ALSO proves LSH recall = 1.0 at this threshold on this corpus. */
   def minhashLsh(spark: SparkSession, dir: String, k: Int = 32, bands: Int = 8,
-                 w: Int = 3, threshold: Double = 0.5): DataFrame = {
+                 w: Int = 3, threshold: Double = 0.5, maxBucket: Int = 64): DataFrame = {
     import spark.implicits._
-    val rowsPerBand = k / bands
     val kk = k; val ww = w
     // one pass: doc -> (id, signature, distinct shingle hashes)
     val signed = table(spark, dir, "documents")
@@ -146,15 +145,7 @@ object Dedup {
           (id, minhashSigFromHashes(shs, kk), shs)
         }
       }.toDF("doc_id", "sig", "shs")
-    val banded = signed.select(col("doc_id"), posexplode(
-      array((0 until bands).map(b =>
-        hash((rowsPerBand * b until rowsPerBand * (b + 1)).map(i => col("sig")(i)): _*)): _*)))
-      .toDF("doc_id", "band", "bucket")
-    val cand = banded.as("l").join(banded.as("r"),
-        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
-          col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
-      .distinct()
+    val cand = minhashCandidates(signed, bands, k / bands, maxBucket)
     // exact verification: intersect candidate pairs' shingle-hash sets
     val ex = signed.select(col("doc_id"), size(col("shs")).as("n_sh"),
       explode(col("shs")).as("gh"))
@@ -167,6 +158,36 @@ object Dedup {
       .withColumn("j_bp", floor(col("common") * 10000.0 / (col("na") + col("nb") - col("common"))).cast("long"))
       .filter(col("j_bp") >= (threshold * 10000).toLong)
       .select(col("a"), col("b"), col("common"), col("j_bp"))
+  }
+
+  /** LSH band-bucket candidate pairs with a hot-bucket bound. A band-bucket
+    * of m near-identical documents makes the naive self-join emit m²/2
+    * candidates — the quadratic blow-up a boilerplate-heavy (or adversarial)
+    * corpus hits at scale, the same failure class ngramJaccard's df-cap fixed.
+    * Buckets with ≤ `maxBucket` members keep exact pairwise generation;
+    * larger buckets fall back to STAR pairs around the bucket's min doc_id —
+    * O(m) pairs that preserve dup-GROUP connectivity (every member links to
+    * the hub, so connected-components grouping is unchanged) while the
+    * within-bucket pair LIST becomes hub-centric. The bucket-size agg and the
+    * candidate join shuffle on the same (band, bucket) key. */
+  def minhashCandidates(signed: DataFrame, bands: Int, rowsPerBand: Int,
+                        maxBucket: Int): DataFrame = {
+    val banded = signed.select(col("doc_id"), posexplode(
+      array((0 until bands).map(b =>
+        hash((rowsPerBand * b until rowsPerBand * (b + 1)).map(i => col("sig")(i)): _*)): _*)))
+      .toDF("doc_id", "band", "bucket")
+    val sized = banded.join(
+      banded.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("bn"), min(col("doc_id")).as("hub")),
+      Seq("band", "bucket"))
+    val small = sized.filter(col("bn") <= maxBucket)
+    val pairwise = small.as("l").join(small.as("r"),
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+    val star = sized.filter(col("bn") > maxBucket && col("doc_id") =!= col("hub"))
+      .select(col("hub").as("a"), col("doc_id").as("b"))
+    pairwise.unionByName(star).distinct()
   }
 
   /** SimHash (64-bit) near-dup: per-token hash bit voting → fingerprint;
@@ -187,9 +208,27 @@ object Dedup {
     out
   }
 
-  def simhashPairs(spark: SparkSession, dir: String, maxHam: Int = 3): DataFrame = {
+  /** Default `maxBucket` is deliberately looser than minhash's: a simhash
+    * SEGMENT collision does not imply similarity (common tokens dominate the
+    * bit votes, so random corpora still form multi-hundred-doc segment
+    * buckets — measured 437 at sf0.1), and star-degrading those would drop
+    * genuine ham≤3 pairs whose only shared segment is the hot one. 1024 keeps
+    * realistic buckets exact while bounding any single bucket's candidate
+    * emission at ~512k pairs. Minhash BAND collisions do imply similarity
+    * (4 equal minhashes), so its buckets stay small on benign corpora
+    * (measured max 5 at sf0.1) and a tight 64 cap only engages on true
+    * dup-cluster blowups. */
+  def simhashPairs(spark: SparkSession, dir: String, maxHam: Int = 3,
+                   maxBucket: Int = 1024): DataFrame = {
     val sh = udf(simhash64 _)
     val df = table(spark, dir, "documents").select(col("doc_id"), sh(col("text")).as("sh"))
+    simhashCandidatePairs(df, maxHam, maxBucket)
+  }
+
+  /** Pigeonhole candidate join over a (doc_id, sh) fingerprint table, with
+    * the same hot-bucket star bound as [[minhashCandidates]] (a segment
+    * shared by m near-identical fingerprints otherwise emits m²/2 pairs). */
+  def simhashCandidatePairs(df: DataFrame, maxHam: Int, maxBucket: Int): DataFrame = {
     // pigeonhole: with 4 disjoint 16-bit segments, two fingerprints within
     // hamming distance 3 MUST agree on at least one whole segment (3 differing
     // bits can dirty at most 3 of the 4). The guarantee is maxHam <= segs-1,
@@ -202,11 +241,21 @@ object Dedup {
     val segs = df.select(col("doc_id"), col("sh"), posexplode(array(
       (0 until 4).map(s => shiftright(col("sh"), s * 16).bitwiseAND(lit(65535L))): _*)))
       .toDF("doc_id", "sh", "seg_idx", "seg")
-    val cand = segs.as("l").join(segs.as("r"),
+    val sized = segs.join(
+      segs.groupBy(col("seg_idx"), col("seg"))
+        .agg(count(lit(1)).as("bn"), min(col("doc_id")).as("hub"),
+          min_by(col("sh"), col("doc_id")).as("hub_sh")),
+      Seq("seg_idx", "seg"))
+    val small = sized.filter(col("bn") <= maxBucket)
+    val pairwise = small.as("l").join(small.as("r"),
         col("l.seg_idx") === col("r.seg_idx") && col("l.seg") === col("r.seg") &&
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
-        col("l.sh").as("sha"), col("r.sh").as("shb")).distinct()
+        col("l.sh").as("sha"), col("r.sh").as("shb"))
+    val star = sized.filter(col("bn") > maxBucket && col("doc_id") =!= col("hub"))
+      .select(col("hub").as("a"), col("doc_id").as("b"),
+        col("hub_sh").as("sha"), col("sh").as("shb"))
+    val cand = pairwise.unionByName(star).distinct()
     cand.withColumn("ham", bit_count(col("sha").bitwiseXOR(col("shb"))))
       .filter(col("ham") <= maxHam)
       .select(col("a"), col("b"), col("ham"))

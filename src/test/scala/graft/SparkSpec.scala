@@ -241,3 +241,53 @@ class FastPathSpec extends AnyFunSuite {
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
   }
 }
+
+/** Hot-bucket bounds for the sketch candidate joins (Dedup.minhashCandidates /
+  * simhashCandidatePairs): a bucket of m near-identical documents must NOT
+  * emit the m²/2 pairwise candidates — above `maxBucket` it degrades to O(m)
+  * star pairs around the bucket hub, preserving dup-group connectivity. */
+class DedupHotBucketSpec extends AnyFunSuite {
+  import graft.text.Dedup
+  import org.apache.spark.sql.functions._
+
+  lazy val spark: SparkSession = TestSpark.spark
+
+  private def signedDf(docs: Seq[(Long, String)]) = {
+    import spark.implicits._
+    docs.map { case (id, t) =>
+      val shs = Dedup.shingleHashes(t, 3)
+      (id, Dedup.minhashSigFromHashes(shs, 32), shs)
+    }.toDF("doc_id", "sig", "shs")
+  }
+
+  test("minhash: 1k identical docs emit star candidates, not 499,500 pairs") {
+    val docs = (0L until 1000L).map(i => i -> "the exact same boilerplate text repeated across the corpus again and again")
+    val cand = Dedup.minhashCandidates(signedDf(docs), bands = 8, rowsPerBand = 4, maxBucket = 64)
+    val rows = cand.collect()
+    // every band has the same single hot bucket -> distinct star pairs (0, i)
+    assert(rows.length == 999, s"expected 999 star candidates, got ${rows.length}")
+    assert(rows.forall(_.getLong(0) == 0L))
+  }
+
+  test("minhash: cap inactive on a benign corpus -> identical candidates") {
+    val r = new Prop.Rng(11)
+    val vocab = Array("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val docs = (0L until 200L).map { i =>
+      i -> Array.fill(30)(vocab(r.int(0, vocab.length - 1))).mkString(" ")
+    }
+    val sd = signedDf(docs)
+    val capped = Dedup.minhashCandidates(sd, 8, 4, maxBucket = 64)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val uncapped = Dedup.minhashCandidates(sd, 8, 4, maxBucket = Int.MaxValue)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(capped == uncapped)
+  }
+
+  test("simhash: 1k identical fingerprints -> 999 star pairs at ham 0") {
+    import spark.implicits._
+    val df = (0L until 1000L).map(i => (i, 0x0123456789ABCDEFL)).toDF("doc_id", "sh")
+    val rows = Dedup.simhashCandidatePairs(df, maxHam = 3, maxBucket = 64).collect()
+    assert(rows.length == 999, s"expected 999, got ${rows.length}")
+    assert(rows.forall(r => r.getLong(0) == 0L && r.getInt(2) == 0))
+  }
+}
