@@ -44,6 +44,11 @@ object Changesets {
     // enhanced-user columns appear iff the input carried the 15-header form
     // (reference checks HEADERS.indexOf('days') > -1)
     val enhanced = raw.columns.contains("days")
+    // DELIBERATE schema deviation from the reference: map-changeset-parser.js
+    // :66-67 passes row.first/row.latest through VERBATIM as strings; this
+    // engine normalizes them to unix seconds (and the counters to numbers) so
+    // the columns are typed, comparable and joinable against the epoch-second
+    // timestamps used everywhere else. The oracle encodes the same contract.
     val uCols =
       if (enhanced) Seq(
         col("num_changesets").as("u_changesets"),

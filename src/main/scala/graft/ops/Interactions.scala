@@ -77,15 +77,30 @@ object Interactions {
     val closed = n >= 4 && lons(0) == lons(n - 1) && lats(0) == lats(n - 1)
     if (closed) {
       val m = n - 1 // ring without the closing vertex
-      var best = 0
+      var bestLon = lons(0); var bestLat = lats(0)
       var i = 1
       while (i < m) {
-        if (lons(i) < lons(best) || (lons(i) == lons(best) && lats(i) < lats(best))) best = i
+        if (lons(i) < bestLon || (lons(i) == bestLon && lats(i) < bestLat)) {
+          bestLon = lons(i); bestLat = lats(i)
+        }
         i += 1
       }
-      val fwd = (0 until m).map(i => (best + i) % m)
-      val bwd = (0 until m).map(i => (best - i + m) % m)
-      interleave(if (lexLess(bwd, fwd, lons, lats)) bwd else fwd, 1.0)
+      // a ring can repeat its minimal vertex (degenerate/self-touching);
+      // JTS equalsNorm effectively considers every candidate start, so ALL
+      // tied starts compete — picking just the first tied index could
+      // canonicalize rotations of the same ring to different keys
+      var bestSeq: IndexedSeq[Int] = null
+      i = 0
+      while (i < m) {
+        if (lons(i) == bestLon && lats(i) == bestLat) {
+          val fwd = (0 until m).map(j => (i + j) % m)
+          val bwd = (0 until m).map(j => (i - j + m) % m)
+          if (bestSeq == null || lexLess(fwd, bestSeq, lons, lats)) bestSeq = fwd
+          if (lexLess(bwd, bestSeq, lons, lats)) bestSeq = bwd
+        }
+        i += 1
+      }
+      interleave(bestSeq, 1.0)
     } else if (n >= 2) {
       val fwd = 0 until n
       val bwd = (n - 1) to 0 by -1

@@ -99,21 +99,22 @@ object Checkpoint {
       }
     }.toDF("bucket", "image_id", "bytes", "w", "h", "fmt", "caption", "phash")
 
-    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try rows.write.mode("overwrite").partitionBy("bucket").parquet(s"$outDir/data")
-    finally prevMode match {
-      case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    // per-write option, NOT a session-conf mutation: concurrent writers in
+    // the same session must not race into static-overwrite semantics
+    rows.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(s"$outDir/data")
     lastRangeEvals = evals.value
 
     todo.map { b =>
       val dataPath = s"$outDir/data/bucket=$b"
 
       // zero-row bucket (possible when n is small vs buckets): partitionBy
-      // creates no directory — commit an empty manifest with sentinel lineage
-      val m = if (!Files.exists(Paths.get(dataPath)))
+      // creates no directory — commit an empty manifest with sentinel lineage.
+      // Existence resolves through the Hadoop FileSystem of the path (works
+      // on HDFS/S3 outDirs, unlike a java.nio check)
+      val hPath = new org.apache.hadoop.fs.Path(dataPath)
+      val dataExists = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hPath)
+      val m = if (!dataExists)
         Manifest(b, Long.MaxValue, Long.MinValue, 0L, 0L, 0L, 0L)
       else {
         // lineage + validation metrics from what was just written (re-read →

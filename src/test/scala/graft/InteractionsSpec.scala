@@ -77,6 +77,17 @@ class InteractionsSpec extends AnyFunSuite {
     assert(out(1).getAs[Long]("mv") == 1L) // counts 1, not 3: rotations never incremented it
   }
 
+  test("canonicalKey: ring with a DUPLICATED minimal vertex is rotation-stable") {
+    // self-touching ring visiting (0,0) twice: rotations must canonicalize to
+    // the same key (the tie on the minimal vertex means every tied start
+    // competes; picking the first tied index broke this)
+    val lonsA = Array(0.0, 1.0, 0.0, 0.0, 0.0); val latsA = Array(0.0, 0.0, 0.0, 1.0, 0.0)
+    val lonsB = Array(0.0, 0.0, 0.0, 1.0, 0.0); val latsB = Array(0.0, 1.0, 0.0, 0.0, 0.0)
+    val ka = Interactions.canonicalKey("way", lonsA, latsA).toSeq
+    val kb = Interactions.canonicalKey("way", lonsB, latsB).toSeq
+    assert(ka == kb, s"$ka vs $kb")
+  }
+
   test("relations compare RAW coordinates: a rotated ring IS a minor version") {
     val versions = Seq(
       v(1, 1, 100, 10, Map("type" -> "multipolygon"), etype = "relation"),

@@ -120,7 +120,14 @@ class KnnSparkSpec extends AnyFunSuite {
       // collect the result INSIDE the listener window; the final small toDF +
       // window runs on driver-local rows (one job)
       Knn.knn(df, Seq(Knn.QueryPoint(1, 0, 0), Knn.QueryPoint(2, -50, 20)), k = 5, res = 3).collect()
-      Thread.sleep(500) // let the listener bus drain (no public waitUntilEmpty)
+      // poll until the async listener bus goes quiet (a fixed sleep was flaky
+      // on loaded hosts): stable count across 4 consecutive 50 ms polls
+      var last = -1; var stable = 0; var waited = 0
+      while (stable < 4 && waited < 5000) {
+        Thread.sleep(50); waited += 50
+        val cur = jobs.get()
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+      }
       // density pass + top-k pass + tiny local-result job = 3 jobs ceiling;
       // the point TABLE itself is only read by the first two
       assert(jobs.get() <= 3, s"expected <=3 jobs (2 table scans), saw ${jobs.get()}")
