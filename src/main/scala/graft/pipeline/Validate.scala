@@ -38,24 +38,43 @@ object Validate {
 
   val JpgPsnrFloor = 40.0
 
+  // per-thread reused packed-pixel buffers: per-pixel getRGB pays a
+  // ColorModel conversion call per pixel and dominated the PSNR profile
+  private val pixBufA = ThreadLocal.withInitial[Array[Int]](() => new Array[Int](64 * 64))
+  private val pixBufB = ThreadLocal.withInitial[Array[Int]](() => new Array[Int](64 * 64))
+
+  /** Packed ARGB pixels of `img`: the backing array directly for
+    * TYPE_INT_RGB (zero copy), one batch getRGB into the reused buffer
+    * otherwise (decoded JPEGs are TYPE_3BYTE_BGR). */
+  private def packedPixels(img: java.awt.image.BufferedImage, buf: ThreadLocal[Array[Int]]): Array[Int] = {
+    if (img.getType == java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.getRaster.getDataBuffer.asInstanceOf[java.awt.image.DataBufferInt].getData
+    else {
+      val n = img.getWidth * img.getHeight
+      var b = buf.get()
+      if (b.length < n) { b = new Array[Int](n); buf.set(b) }
+      img.getRGB(0, 0, img.getWidth, img.getHeight, b, 0, img.getWidth)
+      b
+    }
+  }
+
   /** PSNR in dB between two same-size images; +Infinity if identical. */
   def psnr(a: java.awt.image.BufferedImage, b: java.awt.image.BufferedImage): Double = {
     if (a.getWidth != b.getWidth || a.getHeight != b.getHeight) return 0.0
+    val pa = packedPixels(a, pixBufA)
+    val pb = packedPixels(b, pixBufB)
+    val n = a.getWidth * a.getHeight
     var se = 0.0
-    var y = 0
-    while (y < a.getHeight) {
-      var x = 0
-      while (x < a.getWidth) {
-        val p = a.getRGB(x, y); val q = b.getRGB(x, y)
-        val dr = ((p >> 16) & 0xFF) - ((q >> 16) & 0xFF)
-        val dg = ((p >> 8) & 0xFF) - ((q >> 8) & 0xFF)
-        val db = (p & 0xFF) - (q & 0xFF)
-        se += dr * dr + dg * dg + db * db
-        x += 1
-      }
-      y += 1
+    var i = 0
+    while (i < n) {
+      val p = pa(i); val q = pb(i)
+      val dr = ((p >> 16) & 0xFF) - ((q >> 16) & 0xFF)
+      val dg = ((p >> 8) & 0xFF) - ((q >> 8) & 0xFF)
+      val db = (p & 0xFF) - (q & 0xFF)
+      se += dr * dr + dg * dg + db * db
+      i += 1
     }
-    val mse = se / (3.0 * a.getWidth * a.getHeight)
+    val mse = se / (3.0 * n)
     if (mse == 0.0) Double.PositiveInfinity else 10.0 * math.log10(255.0 * 255.0 / mse)
   }
 

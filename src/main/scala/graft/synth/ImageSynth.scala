@@ -70,8 +70,13 @@ object ImageSynth {
     val key = Integer.valueOf((w << 16) | h)
     var img = pool.get(key)
     if (img == null) { img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB); pool.put(key, img) }
+    // write straight into the TYPE_INT_RGB backing array: setRGB pays a
+    // ColorModel conversion PER PIXEL and was the hottest call in the synth
+    // profile (the raster data is identical — sRGB packed ints)
+    val px = img.getRaster.getDataBuffer.asInstanceOf[java.awt.image.DataBufferInt].getData
     var y = 0
     while (y < h) {
+      val rowOff = y * w
       var x = 0
       while (x < w) {
         // grayscale (r=g=b) keeps chroma constant, dodging 4:2:0 subsampling
@@ -79,7 +84,7 @@ object ImageSynth {
         // genuinely exercised) while staying far above the 40 dB bar
         val base = (mix(seed ^ ((y / 8).toLong << 32) ^ (x / 8).toLong) & 0xBF).toInt
         val v = base + (x % 8) * 3 + (y % 8) * 4
-        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        px(rowOff + x) = (v << 16) | (v << 8) | v
         x += 1
       }
       y += 1
@@ -98,11 +103,19 @@ object ImageSynth {
       var gx = 0
       while (gx < gw) {
         var s = 0.0; var n = 0
+        // render output is TYPE_INT_RGB — read its backing array directly
+        // (getRGB converts through the ColorModel per pixel); other types
+        // (callers hashing decoded images) keep the generic path
+        val px = img.getRaster.getDataBuffer match {
+          case b: java.awt.image.DataBufferInt if img.getType == BufferedImage.TYPE_INT_RGB => b.getData
+          case _ => null
+        }
+        val iw = img.getWidth
         var y = gy * cellH
         while (y < math.min((gy + 1) * cellH, img.getHeight)) {
           var x = gx * cellW
           while (x < math.min((gx + 1) * cellW, img.getWidth)) {
-            val rgb = img.getRGB(x, y)
+            val rgb = if (px != null) px(y * iw + x) else img.getRGB(x, y)
             s += 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
             n += 1; x += 1
           }
