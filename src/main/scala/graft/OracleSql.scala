@@ -334,6 +334,25 @@ object OracleSql {
        |  count(*)::BIGINT AS n_pts
        |FROM c GROUP BY 1, 2""".stripMargin
 
+  /** Replica oracle for q49 (multi-zoom rollup): parent tiles derived by
+    * integer division of the z12 tx/ty — arithmetically identical to the
+    * engine's bit-shift parent chain (floor(floor(v·2^12)/2^(12-z)) ==
+    * floor(v·2^z), clamps included). */
+  def q49(n: Long, zooms: Seq[Int] = Seq(8, 10, 12)): String = {
+    val legs = zooms.map { z =>
+      val d = 1L << (12 - z)
+      s"""SELECT $z AS zoom, (${z}::BIGINT * 288230376151711744 + (tx // $d) * 536870912 + (ty // $d)) AS cell_id, team, uid
+         |FROM f""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${pipelineCtes(n)},
+       |f AS (SELECT tx, ty, team, uid FROM pj WHERE boundary_id IS NOT NULL),
+       |mz AS (
+       |$legs)
+       |SELECT zoom::INT AS zoom, cell_id, team,
+       |  count(*)::BIGINT AS n_edits, count(DISTINCT uid)::BIGINT AS n_users
+       |FROM mz GROUP BY 1, 2, 3""".stripMargin
+  }
+
   // ---- q31: full ANN-LSH replica oracle ------------------------------------
 
   /** Complete DuckDB replica of graft.ann.Ann.lshTopK: the deterministic

@@ -82,6 +82,9 @@ object SparkEntry {
       graft.geo.GeoJson.roundTripSummary(graft.spatial.SpatialQueries.eventPoints(s, d))),
     // LSH recall vs exact brute, measured in-gate (self-certifies q31)
     "q48_ann_lsh_recall" -> ((s: SparkSession, d: String) => Ann.lshRecall(s, d)),
+    // multi-zoom tile emission (zoom-band layers): bit-shift parent chain
+    "q49_multizoom_rollup" -> ((s: SparkSession, _: String) =>
+      ImagePipeline.multiZoomRollup(s, 2000L, 16)),
     "q33_image_validate" -> ((s: SparkSession, _: String) =>
       Validate.summary(ImagePipeline.synthTable(s, 2000L, 16).toDF())),
     // full reference classifier over the closed-form synthetic versions table;
@@ -460,6 +463,7 @@ object SparkEntry {
            sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS value_cents
          FROM p""",
     "q48_ann_lsh_recall" -> OracleSql.q48(graft.ann.Ann.hyperplanes(16, 64)),
+    "q49_multizoom_rollup" -> OracleSql.q49(2000),
     // the classifier's output is re-derived ANALYTICALLY from the generator
     // formulas — fully independent of the Spark window-algebra implementation
     "q34_interactions_versions" -> OracleSql.q34(500),

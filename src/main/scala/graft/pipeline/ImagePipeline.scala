@@ -251,6 +251,25 @@ object ImagePipeline {
       .foldLeft(joined)((df, c) => df.withColumn(c, coalesce(col(c), lit(0L))))
   }
 
+  /** Multi-zoom rollup gate: the reference's summary layers span zoom bands
+    * (objects z12-16, summaries z1-12, util/README.md:13-18 + the tippecanoe
+    * minzoom/maxzoom envelopes in map-contribution-extractor.js:188-316);
+    * [[graft.spatial.TileAssign.withTileMultiZoom]] emits every feature's cell at
+    * every requested zoom via bit-shift parent derivation (one encode at
+    * z-max, no re-encoding), then one rollup per (zoom, cell, team). */
+  def multiZoomRollup(spark: SparkSession, n: Long, parts: Int = 16,
+                      zooms: Seq[Int] = Seq(8, 10, 12)): DataFrame = {
+    import graft.functions.SeedExprs
+    val index = new BoundaryIndex(metroBoundaries.toArray)
+    val f = fastFeatures(spark, n, parts)
+      .withColumn("b_ord", SeedExprs.pipOrdinal(col("lon"), col("lat"), index))
+      .filter(col("b_ord") >= 0)
+      .withColumn("team", element_at(lit(teamNames.toArray), col("team_id") + 1))
+    graft.spatial.TileAssign.withTileMultiZoom(f, "lon", "lat", zooms)
+      .groupBy(col("zoom"), col("cell_id"), col("team"))
+      .agg(count(lit(1)).as("n_edits"), countDistinct(col("uid")).as("n_users"))
+  }
+
   // ---- codegen fast path -----------------------------------------------
 
   /** Feature derivation as pure codegen expressions (graft.functions): the
