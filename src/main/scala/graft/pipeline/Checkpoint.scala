@@ -43,15 +43,16 @@ object Checkpoint {
   def writeSnapshot(outDir: String, buckets: Int): Option[String] = {
     val done = committed(outDir, buckets)
     if (done.size != buckets) return None
+    // real JSON parsing (Jackson ships with Spark) — the earlier regex field
+    // scrape silently broke if a manifest field was ever reordered/reformatted
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val ms = (0 until buckets).map { b =>
-      java.nio.file.Files.readString(manifestPath(outDir, b))
+      mapper.readTree(java.nio.file.Files.readString(manifestPath(outDir, b)))
     }
-    def sumOf(field: String): Long = ms.map { j =>
-      s""""$field":(-?\\d+)""".r.findFirstMatchIn(j).get.group(1).toLong
-    }.sum
+    def sumOf(field: String): Long = ms.map(_.get(field).asLong()).sum
     val json =
       s"""{"buckets":$buckets,"rowCount":${sumOf("rowCount")},
-         |"phashDigest":${ms.map(j => """"phashDigest":(-?\d+)""".r.findFirstMatchIn(j).get.group(1).toLong).reduce(_ ^ _)},
+         |"phashDigest":${ms.map(_.get("phashDigest").asLong()).reduce(_ ^ _)},
          |"nPixelsOk":${sumOf("nPixelsOk")},"nCaptionsOk":${sumOf("nCaptionsOk")},
          |"manifests":[${(0 until buckets).map(b => s"\"_commits/bucket-$b.json\"").mkString(",")}]}"""
         .stripMargin.replace("\n", "")

@@ -57,50 +57,46 @@ for (pa, pb, pep, pev, pei, pet) in pairs:
 md = f"""# BENCH — two-parallelism scaling evidence (north_rule)
 
 Same job, same input, JVM pinned with `taskset` to {n} vs {4*n} CPUs
-(`local[{n}]` / `local[{4*n}]`). Each leg warms to convergence before timing
-(first 32-thread full-size executions can run 10-100x slow: C2/codegen/heap
-thundering herd), takes min of 3 reps, and measures two pure-JVM calibration
-spins at its own thread count in the same window. Legs run as back-to-back
-N/4N pairs; the MEDIAN pipeline-efficiency pair is reported. Pinning matters:
-unpinned local[{n}] on the 32-core host lets GC/JIT threads use idle cores,
-inflating the small-N baseline ~1.7x.
+(`local[{n}]` / `local[{4*n}]`). Each leg warms to convergence before timing,
+takes min of 3 reps, and measures two pure-JVM calibration spins (integer
+LCG, transcendental log/tan) at its own thread count in the same window.
+Legs run as back-to-back N/4N pairs; the MEDIAN pipeline-efficiency pair is
+the headline. Pinning matters: unpinned local[{n}] on the 32-core host lets
+GC/JIT threads use idle cores, inflating the small-N baseline ~1.7x.
 
-## Why the host anchors matter (root-cause of sub-0.8 raw efficiency)
+## Headline (median pipeline-efficiency pair)
 
-This sandbox is an oversubscribed VM whose {n}→{4*n}-core scaling ceiling
-depends on the instruction mix (measured with plain Java threads, no Spark):
-an integer LCG spin scales at ~0.85-0.90, but a transcendental (log/tan)
-spin scales at only ~0.60 — all-core FP/AVX frequency behavior plus
-hypervisor contention. The pipeline's per-row work is dominated by exactly
-that mix (web-mercator ln/tan, hex/s2 trig), so its RAW efficiency is capped
-by the trig anchor, not by the engine: pure-JVM probes with no Spark at all
-(FeatScale: the identical per-row derive+PIP loop; TrigSpin) reproduce the
-same ceiling. The validation leg's pixel work is integer-dominated and
-anchors against the integer spin (its pure-JVM probe, ImgScale, scales at
-0.91). Efficiency normalized to the SAME-WINDOW matching anchor is the
-engine-attributable number.
+| workload | rows | {n} cores rows/s | {4*n} cores rows/s | raw efficiency |
+|---|---|---|---|---|
+| spatial-join + tile pipeline | {nfeat} | {a['pipeline_rps']} | {b['pipeline_rps']} | **{ep:.3f}** |
+| image synth+decode+PSNR validation | {nimg} | {a['validate_rps']} | {b['validate_rps']} | {ev:.3f} |
 
-| workload | rows | {n} cores rows/s | {4*n} cores rows/s | raw eff | anchor | normalized eff |
-|---|---|---|---|---|---|---|
-| spatial-join + tile pipeline | {nfeat} | {a['pipeline_rps']} | {b['pipeline_rps']} | {ep:.3f} | trig {e_trig:.3f} | **{ep/e_trig:.3f}** |
-| image synth+decode+PSNR validation | {nimg} | {a['validate_rps']} | {b['validate_rps']} | {ev:.3f} | int {e_int:.3f} | **{ev/e_int:.3f}** |
+Pipeline efficiencies across pairs: {", ".join(f"{p[2]:.3f}" for p in pairs)};
+validation: {", ".join(f"{p[3]:.3f}" for p in pairs)}. Target: >= 0.8
+(BASELINE.json) on the pipeline metric.
 
-All pairs (pipeline raw | validate raw | int anchor | trig anchor |
-pipeline normalized | validate normalized | steal% {n}/{4*n}):
+## Host anchors — how to read variance on this machine
 
-| pipe | val | int | trig | pipe_n | val_n | steal |
-|---|---|---|---|---|---|---|
-{chr(10).join(rows)}
+| pair | pipeline raw | validate raw | int-spin anchor | trig-spin anchor | steal% {n}/{4*n} |
+|---|---|---|---|---|---|
+{chr(10).join(f"| {i+1} | {p[2]:.3f} | {p[3]:.3f} | {p[4]:.3f} | {p[5]:.3f} | {p[0]['steal_pct']}/{p[1]['steal_pct']} |" for i, p in enumerate(pairs))}
 
-Median pair steal: {n}-core {a['steal_pct']}%, {4*n}-core {b['steal_pct']}%.
-Stage attribution (ScaleProbe, same inputs): at {n} cores the distinct-user
-aggregation bounds the pipeline (scan ~3x faster than the full job); at
-{4*n} cores the trig-bound scan is the limiter — the agg itself scales
-superlinearly as per-task state shrinks. Target: efficiency >= 0.8
-(BASELINE.json); the engine meets it on the normalized measure and the
-validation leg's pure-JVM probe; raw numbers are disclosed above.
-"""
+This sandbox is an oversubscribed VM whose {n}→{4*n}-core ceiling is
+instruction-mix dependent (plain Java threads, no Spark): the integer spin
+scales near 1.0 while the log/tan spin scales ~0.6-0.7 (all-core FP/AVX
+frequency + hypervisor contention; reproduced Spark-free by the TrigSpin/
+FeatScale probes). The pipeline mixes both kinds of work, so its ceiling
+lies between the anchors; the validation leg is integer-dominated and its
+pure-JVM probe (ImgScale) scales at 0.91 — Spark row materialization of the
+byte columns plus ambient noise accounts for the leg-vs-probe gap. Anchors
+can exceed 1.0 when ambient load favors one leg of a pair — single-leg
+numbers are meaningless here, hence pairs + median.
+
+Stage attribution (ScaleProbe): at {n} cores the distinct-user aggregation
+bounds the pipeline; at {4*n} cores the trig-bound scan is — the agg scales
+superlinearly as per-task hash state shrinks.
+""""""
 open("BENCH.md", "w").write(md)
 print(json.dumps({"pipeline_eff_median": ep, "validate_eff_median": ev,
-                  "pipeline_eff_norm": ep/e_trig, "validate_eff_norm": ev/e_int}))
+                  "int_anchor": e_int, "trig_anchor": e_trig}))
 EOF
