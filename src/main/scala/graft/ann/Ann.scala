@@ -174,6 +174,145 @@ object Ann {
     }.toDF("a", "b", "cos_e4")
   }
 
+  /** LSH-bucketed near-dup tier — the scale path of [[cosineNearDupPairs]]
+    * for corpora where the threshold's angle gives LSH real recall (planted
+    * near-dup clusters sit at cos ≥ ~0.9; random-hyperplane collision
+    * probability per bit is 1 − θ/π ≈ 0.92 there, so a few bands catch every
+    * true pair — AnnSparkSpec proves recall 1.0 on planted clusters with the
+    * candidate count asserted ≪ N²/2). Shape: band self-join emits candidate
+    * ID pairs only (no vectors in the exchange), vectors join back once, and
+    * the exact-cosine verify runs in a mapPartitions kernel over primitive
+    * arrays — cosine once per candidate, never in a join condition. */
+  def cosineNearDupLshTier(vecs: DataFrame, minCos: Double,
+                           nBits: Int = 16, bands: Int = 8, dim: Int = 64): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val planes = hyperplanes(nBits, dim)
+    val bcP = spark.sparkContext.broadcast(planes)
+    val bitsPerBand = nBits / bands
+    val mask = (1L << bitsPerBand) - 1
+    val sigUdf = udf { (v: Seq[Double]) => signature(v.toArray, bcP.value) }
+    val banded = vecs.withColumn("sig", sigUdf(col("v")))
+      .select(col("vec_id"), posexplode(array((0 until bands).map(b =>
+        shiftright(col("sig"), b * bitsPerBand).bitwiseAND(lit(mask))): _*)))
+      .toDF("vec_id", "band", "vband")
+    val cand = banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.vband") === col("r.vband") &&
+          col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("a"), col("r.vec_id").as("b")).distinct()
+    // vectors join back exactly once per side; the verify kernel runs over
+    // primitive arrays inside the partition
+    val withVecs = cand
+      .join(vecs.select(col("vec_id").as("a"), col("v").as("va")), Seq("a"))
+      .join(vecs.select(col("vec_id").as("b"), col("v").as("vb")), Seq("b"))
+      .select(col("a"), col("b"), col("va"), col("vb"))
+      .as[(Long, Long, Array[Double], Array[Double])]
+    val thr = minCos
+    withVecs.mapPartitions { it =>
+      it.flatMap { case (a, b, va, vb) =>
+        val c = cosine(va, vb)
+        if (c >= thr) Iterator.single((a, b, math.floor(c * 10000.0 + 0.5).toLong))
+        else Iterator.empty
+      }
+    }.toDF("a", "b", "cos_e4")
+  }
+
+  /** IVF (inverted-file) ANN — the coarse-quantizer scale path the brief
+    * names alongside LSH: deterministic Lloyd-refined centroids over
+    * normalized vectors, every vector assigned to its nearest-by-cosine
+    * centroid (the inverted list = a partition key at 10^12 rows), queries
+    * probe the `nprobe` nearest lists and exact-rerank only those lists'
+    * members. `nprobe == nlist` degenerates to exhaustive search and must
+    * equal [[bruteTopK]] exactly (asserted in AnnSparkSpec). */
+  def ivfTopK(spark: SparkSession, dir: String, q: Int = 5, k: Int = 10,
+              nlist: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame =
+    ivfTopKFrom(loadVecs(spark, dir), queriesFrom(spark, dir, q), k, nlist, nprobe, iters)
+
+  def ivfTopKFrom(vecs: DataFrame, queries: Seq[EmbQuery], k: Int,
+                  nlist: Int, nprobe: Int, iters: Int = 2): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val cents = ivfCentroids(vecs, nlist, iters)
+    val bcC = spark.sparkContext.broadcast(cents)
+    // probe sets per query: nprobe centroids nearest by cosine
+    val probes: Map[Long, Array[Int]] = queries.map { qq =>
+      qq.qid -> cents.indices
+        .sortBy(ci => (-cosine(cents(ci), qq.vec), ci)).take(nprobe).toArray
+    }.toMap
+    val bcQ = spark.sparkContext.broadcast(queries.map(qq => qq.qid -> qq.vec).toMap)
+    val bcProbes = spark.sparkContext.broadcast(probes)
+    // one scan: assign list, emit (qid, vec_id, cos) for probed members only;
+    // vectors never shuffle — only the Q·|probed| candidate rows do
+    val scored = vecs.as[(Long, Array[Double])].mapPartitions { it =>
+      val cs = bcC.value; val qs = bcQ.value; val pr = bcProbes.value
+      it.flatMap { case (id, v) =>
+        var best = 0; var bestC = Double.NegativeInfinity
+        var ci = 0
+        while (ci < cs.length) {
+          val c = cosine(cs(ci), v)
+          if (c > bestC) { bestC = c; best = ci }
+          ci += 1
+        }
+        pr.iterator.collect {
+          case (qid, lists) if lists.contains(best) => (qid, id, cosine(qs(qid), v))
+        }
+      }
+    }.toDF("qid", "vec_id", "cos")
+    scored.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("rank"))
+  }
+
+  /** Deterministic IVF centroids: seeded from the `nlist` lowest vec_ids,
+    * refined with `iters` Lloyd steps (assignment in mapPartitions over the
+    * broadcast centroids; per-list mean via one aggregation per step —
+    * vectors are read, never shuffled: only (list, sumVec, n) partials move). */
+  def ivfCentroids(vecs: DataFrame, nlist: Int, iters: Int): Array[Array[Double]] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    var cents: Array[Array[Double]] = vecs.orderBy(col("vec_id")).limit(nlist)
+      .as[(Long, Array[Double])].collect().sortBy(_._1).map(_._2)
+    val dim = cents.head.length
+    for (_ <- 0 until iters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val partials = vecs.as[(Long, Array[Double])].mapPartitions { it =>
+        val cs = bc.value
+        val sums = Array.fill(cs.length)(new Array[Double](cs.head.length))
+        val counts = new Array[Long](cs.length)
+        it.foreach { case (_, v) =>
+          var best = 0; var bestC = Double.NegativeInfinity
+          var ci = 0
+          while (ci < cs.length) {
+            val c = cosine(cs(ci), v)
+            if (c > bestC) { bestC = c; best = ci }
+            ci += 1
+          }
+          var i = 0
+          while (i < v.length) { sums(best)(i) += v(i); i += 1 }
+          counts(best) += 1
+        }
+        sums.iterator.zipWithIndex.collect {
+          case (s, ci) if counts(ci) > 0 => (ci, s, counts(ci))
+        }
+      }.toDF("ci", "s", "n")
+        .groupBy(col("ci"))
+        .agg(aggregate(collect_list(col("s")), array_repeat(lit(0.0), dim),
+          (acc, x) => zip_with(acc, x, _ + _)).as("sum"),
+          sum(col("n")).as("n"))
+        .collect()
+      val next = cents.map(_.clone())
+      partials.foreach { r =>
+        val ci = r.getInt(0)
+        val s = r.getSeq[Double](1); val n = r.getLong(2).toDouble
+        next(ci) = s.map(_ / n).toArray
+      }
+      cents = next
+    }
+    cents
+  }
+
   /** Candidate id pairs (qid, vec_id) from the band join — only
     * (vec_id, band, vband) rows ever move; no embedding in the exchange. */
   def lshCandidates(vecs: DataFrame, queries: Seq[EmbQuery],

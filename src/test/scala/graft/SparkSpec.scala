@@ -180,6 +180,58 @@ class AnnSparkSpec extends AnyFunSuite {
     }.toSet
     assert(got == want)
   }
+
+  test("IVF with full probe equals brute force; partial probe prunes with full recall on clusters") {
+    import spark.implicits._
+    val r = new Prop.Rng(13)
+    val dim = 16
+    def noisy(center: Array[Double], eps: Double): Array[Double] =
+      center.map(c => c + r.double(-eps, eps))
+    val centers = Array.fill(4)(Array.fill(dim)(r.double(-1, 1)))
+    val rows: Seq[(Long, Array[Double])] =
+      centers.zipWithIndex.map { case (c, i) => (i.toLong, c) }.toSeq ++
+        (0 until 120).map(i => (100L + i, noisy(centers(i % 4), 0.05))) ++
+        (0 until 300).map(i => (1000L + i, Array.fill(dim)(r.double(-1, 1))))
+    val vecs = rows.toDF("vec_id", "v")
+    val queries = centers.zipWithIndex.map { case (c, i) => Ann.EmbQuery(i.toLong, c) }.toSeq
+    val want = queries.flatMap { q =>
+      rows.map { case (id, v) => (id, Ann.cosine(q.vec, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(10).zipWithIndex
+        .map { case ((id, _), i) => (q.qid, id, i + 1) }
+    }.toSet
+    // nprobe == nlist -> exhaustive -> must equal brute EXACTLY
+    val full = Ann.ivfTopKFrom(vecs, queries, k = 10, nlist = 8, nprobe = 8)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+    assert(full == want)
+    // partial probe: queries ARE cluster centers, the clusters dominate the
+    // top-10, and Lloyd centroids track the planted clusters -> full recall
+    val part = Ann.ivfTopKFrom(vecs, queries, k = 10, nlist = 8, nprobe = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+    assert(part == want, s"IVF nprobe=3 missed: ${(want -- part).take(5)}")
+  }
+
+  test("LSH near-dup tier: recall 1.0 vs the exact block kernel on planted dups, with real pruning") {
+    import spark.implicits._
+    val r = new Prop.Rng(17)
+    val dim = 16
+    // planted near-dup pairs (cos ~0.99+) in a sea of random vectors
+    val bases = Array.fill(20)(Array.fill(dim)(r.double(-1, 1)))
+    val rows: Seq[(Long, Array[Double])] =
+      bases.zipWithIndex.flatMap { case (b0, i) =>
+        Seq((i * 2L, b0), (i * 2L + 1, b0.map(c => c + r.double(-0.01, 0.01))))
+      }.toSeq ++ (0 until 400).map(i => (1000L + i, Array.fill(dim)(r.double(-1, 1))))
+    val vecs = rows.toDF("vec_id", "v")
+    val got = Ann.cosineNearDupLshTier(vecs, minCos = 0.95, dim = dim)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    // exact truth from plain loops
+    val want = (for {
+      i <- rows.indices; j <- (i + 1) until rows.length
+      a = rows(i); b = rows(j)
+      if Ann.cosine(a._2, b._2) >= 0.95
+    } yield (math.min(a._1, b._1), math.max(a._1, b._1))).toSet
+    assert(want.size >= 20, s"fixture broken: only ${want.size} true pairs")
+    assert(got == want, s"missed=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
 }
 
 class CoreOpsSpec extends AnyFunSuite {
