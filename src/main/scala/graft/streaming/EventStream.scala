@@ -27,6 +27,24 @@ object EventStream {
         approx_count_distinct(col("user_id")).as("n_users_approx"))
       .select(col("day.start").as("day_start"), col("n_edits"), col("n_users_approx"))
 
+  /** The flagship per-tile rollup as a stream: geotagged feature events →
+    * z-cell assignment (same codegen Column encoder as the batch pipeline) →
+    * per-(day-window, tile) counts under a 1-day watermark. This is the
+    * incremental form of tilePointSummaries: at 10^12 rows/day the state
+    * store holds only the open windows' (tile → counters) and late data past
+    * the watermark is dropped deterministically (asserted in StreamingSpec). */
+  def tileRollupStream(feats: DataFrame, tsCol: String = "ts",
+                       lonCol: String = "lon", latCol: String = "lat",
+                       z: Int = 12): DataFrame =
+    feats
+      .withColumn("tile", graft.index.Quadkey.cellIdCol(col(lonCol), col(latCol), z))
+      .withWatermark(tsCol, "1 day")
+      .groupBy(window(col(tsCol), "1 day").as("day"), col("tile"))
+      .agg(count(lit(1)).as("n_edits"),
+        approx_count_distinct(col("user_id")).as("n_users_approx"))
+      .select(col("day.start").as("day_start"), col("tile"), col("n_edits"),
+        col("n_users_approx"))
+
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, event_type: String)
   final case class MvOut(user_id: Long, ts: java.sql.Timestamp, mv: Int)
   final case class MvState(seg: Long, mv: Int)

@@ -34,6 +34,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming tile rollup: per-(day, z12 cell) counts; late data past the watermark is DROPPED") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double, Double)]
+    val feats = mem.toDF().toDF("user_id", "ts", "lon", "lat")
+    val q = EventStream.tileRollupStream(feats).writeStream
+      .format("memory").queryName("tile_stream").outputMode("append").start()
+    try {
+      val (sfLon, sfLat) = (-122.42, 37.77)
+      val (paLon, paLat) = (2.35, 48.86)
+      mem.addData((1L, ts(19000, 1), sfLon, sfLat), (2L, ts(19000, 2), sfLon, sfLat),
+        (3L, ts(19000, 3), paLon, paLat))
+      q.processAllAvailable()
+      // watermark forward: event 3 days later closes day 19000's windows
+      mem.addData((9L, ts(19003, 0), sfLon, sfLat))
+      q.processAllAvailable()
+      // LATE arrival for the closed day — must be dropped, not re-emitted
+      mem.addData((4L, ts(19000, 5), sfLon, sfLat))
+      q.processAllAvailable()
+      mem.addData((9L, ts(19006, 0), sfLon, sfLat))
+      q.processAllAvailable()
+      val sfTile = graft.index.Quadkey.cellIdOf(sfLon, sfLat, 12)
+      val paTile = graft.index.Quadkey.cellIdOf(paLon, paLat, 12)
+      val rows = spark.table("tile_stream").collect()
+        .map(r => (r.getTimestamp(0).getTime / 86400000L, r.getLong(1)) -> r.getLong(2)).toMap
+      assert(rows.get((19000L, sfTile)).contains(2L), s"sf day counts: $rows")
+      assert(rows.get((19000L, paTile)).contains(1L))
+      // the late row (user 4) did NOT bump the closed window
+      assert(!rows.exists { case ((d, t), n) => d == 19000L && t == sfTile && n != 2L })
+    } finally q.stop()
+  }
+
   test("stateful minor-version counter via flatMapGroupsWithState") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
