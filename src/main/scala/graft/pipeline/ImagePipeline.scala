@@ -232,6 +232,12 @@ object ImagePipeline {
       .groupBy(col("tile"), col("team"), col("rostered"))
       .agg(count(lit(1)).as("e"), sum("km_e6").as("km_e6"),
         sum("is_b").as("b"), sum("is_p").as("p"))
+      // the totals / pivot / team_sum branches below each consume this
+      // pre-rollup; without materialization Catalyst re-executes the full
+      // scan+shuffle per branch (verified: 3 scans, no ReusedExchange).
+      // The pre-rollup is ~|tiles|·|teams|·2 rows, so pinning it locally is
+      // the scale-correct trade: ONE pass over the feature table, period.
+      .localCheckpoint()
     val totals = pre.groupBy(col("tile")).agg(
       sum("e").as("total_features"), sum("km_e6").as("total_km_e6"),
       sum("b").as("total_b"), sum("p").as("total_p"))
