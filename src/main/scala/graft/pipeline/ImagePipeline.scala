@@ -141,10 +141,16 @@ object ImagePipeline {
     * discovery job — the output contract is identical.) Absent team cells
     * coalesce to 0 like the reference's zero-initialized accumulators. */
   def tileTeamPivotDynamic(joined: DataFrame): DataFrame = {
-    val p = joined.groupBy(col("tile"), col("boundary_id")).pivot("team").agg(count(lit(1)))
+    // pre-rollup once on (tile, boundary, team, uid) — fine enough for BOTH
+    // the pivot and the distinct-user totals — and materialize it: the two
+    // branches would otherwise re-execute the feature scan (same
+    // multi-consumer re-execution q45's plan audit caught)
+    val pre = joined.groupBy(col("tile"), col("boundary_id"), col("team"), col("uid"))
+      .agg(count(lit(1)).as("e")).localCheckpoint()
+    val p = pre.groupBy(col("tile"), col("boundary_id")).pivot("team").agg(sum("e"))
     val teams = p.columns.filterNot(Set("tile", "boundary_id"))
-    val totals = joined.groupBy(col("tile"), col("boundary_id"))
-      .agg(count(lit(1)).as("team_sum_e"), countDistinct(col("uid")).as("n_users"))
+    val totals = pre.groupBy(col("tile"), col("boundary_id"))
+      .agg(sum("e").as("team_sum_e"), countDistinct(col("uid")).as("n_users"))
     val filled = teams.foldLeft(p) { (df, tm) =>
       df.withColumn(tm, coalesce(col(tm), lit(0L))).withColumnRenamed(tm, s"${tm}_e")
     }
