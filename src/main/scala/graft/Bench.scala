@@ -30,6 +30,22 @@ object Bench {
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
 
+    // headline metric (BASELINE.json): spatial-join + tile-assignment rows/s
+    // on the image table — measured live on the codegen pipeline. Measured BEFORE the
+    // query phase (98 query executions fragment the heap and depressed this
+    // number ~2-3x when it ran last). Min-of-4 full-size reps (short jobs converge
+    // over the first reps — measured 37→57→61M rows/s in a fresh JVM) gets
+    // the steady state. The pinned two-parallelism evidence lives in BENCH.md
+    // (tools/scaling.sh, 1.2B-row legs, pair-median protocol).
+    System.gc()
+    val nPipe = 200000000L
+    val tPipe = (1 to 4).map { _ =>
+      val t0 = System.nanoTime()
+      graft.pipeline.ImagePipeline.run(spark, nPipe, cpus.toInt * 4).count()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    val pipeRps = (nPipe / tPipe).round
+
     // a failed query is recorded as -1.0 (never a normal-looking duration) and
     // named in `errors`, so the bench JSON distinguishes failure from slowness.
     // Min-of-2 timed reps per query: the sf0.001 warm-up does not warm
@@ -50,15 +66,6 @@ object Bench {
     val errs = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }.mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
 
-    // headline metric (BASELINE.json): spatial-join + tile-assignment rows/s
-    // on the image table — measured live on the codegen pipeline
-    val nPipe = 100000000L
-    val tPipe = (1 to 2).map { _ =>
-      val t0 = System.nanoTime()
-      graft.pipeline.ImagePipeline.run(spark, nPipe, cpus.toInt * 4).count()
-      (System.nanoTime() - t0) / 1e9
-    }.min
-    val pipeRps = (nPipe / tPipe).round
 
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","cpus":$cpus,"pipeline_rows_per_sec":$pipeRps}""")
     spark.stop()
