@@ -43,6 +43,8 @@ object SparkEntry {
     "q16_json_extract" -> (CoreQueries.jsonExtract _),
     // spatial engine (§2.3 J6/J7, §2.8 X8-X11)
     "q17_pip_join" -> (SpatialQueries.pipJoin _),
+    // the same join through the NON-broadcast cell-cover equi-join plan
+    "q50_pip_cell_join" -> (SpatialQueries.pipCellJoin _),
     "q18_tile_rollup" -> (SpatialQueries.tileRollup _),
     "q19_knn_hexring" -> (SpatialQueries.knnHexRing _),
     "q20_haversine_tracks" -> (SpatialQueries.haversineTracks _),
@@ -296,6 +298,18 @@ object SparkEntry {
          max(CAST(json_extract_string(props,'k') AS INT))::INT AS max_k
          FROM events GROUP BY 1""",
     "q17_pip_join" ->
+      s"""WITH p AS ($pts),
+         t AS (SELECT user_id,
+           CASE WHEN lon > -179.505 AND lon < -100.505 AND lat > -89.5 AND lat < -30.5 THEN 'box_a'
+                WHEN lon > -60.505 AND lon < 20.495 AND lat > -20.5 AND lat < 30.5 THEN 'box_b'
+                WHEN lon > 60.495 AND lon < 169.495 AND lat > 35.5 AND lat < 60.5 THEN 'box_c'
+                WHEN lon > 30.25 AND lat > -80.5 AND lat < -80.5 - (2.0/7.0)*(lon-170.25) THEN 'tri_d'
+                ELSE NULL END AS boundary_id
+         FROM p)
+         SELECT boundary_id, count(*)::BIGINT AS n_points, count(DISTINCT user_id)::BIGINT AS n_users
+         FROM t WHERE boundary_id IS NOT NULL GROUP BY 1""",
+    // q50 must reproduce q17's relation exactly through the other plan
+    "q50_pip_cell_join" ->
       s"""WITH p AS ($pts),
          t AS (SELECT user_id,
            CASE WHEN lon > -179.505 AND lon < -100.505 AND lat > -89.5 AND lat < -30.5 THEN 'box_a'

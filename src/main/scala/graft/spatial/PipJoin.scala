@@ -61,4 +61,42 @@ object PipJoin {
   def boxJoinExpr(lon: Column, lat: Column, b: Boundary): Column =
     lon >= lit(b.minLon) && lon <= lit(b.maxLon) &&
       lat >= lit(b.minLat) && lat <= lit(b.maxLat)
+
+  /** Distributed PIP join via cell-cover EQUI-join — the path past the
+    * broadcast ceiling (north_star: "range-join pushdown on cell ID
+    * intervals"). Each boundary explodes to the z-`level` cells covering its
+    * bbox (the discretized cell-ID interval); each point computes its one
+    * cell in codegen; the join is a plain equi-join on `cell` that Catalyst
+    * plans however the sides' sizes dictate — broadcast for small boundary
+    * sets, shuffle hash join when millions of polygons make [[join]]'s
+    * broadcast index impossible. The exact ray-cast verifies candidates
+    * after the join (never in the join condition), and `queryFirst` parity
+    * (first boundary in input order wins) comes from one row_number over the
+    * candidate set — which is cover-pruned, NOT the point table. */
+  def joinViaCellCover(points: DataFrame, boundaries: Seq[Boundary],
+                       lonCol: String, latCol: String, idCol: String,
+                       level: Int = 6): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val bRows = boundaries.zipWithIndex.flatMap { case (b, ord) =>
+      val x0 = Quadkey.tileX(b.minLon, level); val x1 = Quadkey.tileX(b.maxLon, level)
+      val y0 = Quadkey.tileY(b.maxLat, level); val y1 = Quadkey.tileY(b.minLat, level)
+      for (x <- x0 to x1; y <- y0 to y1)
+        yield (Quadkey.cellId(x, y, level), ord, b.id, b.lons.toSeq, b.lats.toSeq)
+    }
+    val bDf = bRows.toDF("cell", "__ord", "boundary_id", "__b_lons", "__b_lats")
+    val pts = points.withColumn("cell",
+      Quadkey.cellIdCol(col(lonCol), col(latCol), level))
+    val contains = udf { (lon: Double, lat: Double, lons: Seq[Double], lats: Seq[Double]) =>
+      val la = lons.toArray; val lb = lats.toArray
+      lon >= la.min && lon <= la.max && lat >= lb.min && lat <= lb.max &&
+        graft.geo.Geo.pointInRing(lon, lat, la, lb)
+    }
+    val cand = pts.join(bDf, Seq("cell"))
+      .filter(contains(col(lonCol), col(latCol), col("__b_lons"), col("__b_lats")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__ord"))
+    cand.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .drop("__rn", "__ord", "__b_lons", "__b_lats", "cell")
+  }
 }

@@ -51,6 +51,15 @@ object SpatialQueries {
     TileAssign.gridRollup(eventPoints(spark, dir), "lon", "lat", 64,
       "event_type", Seq("click", "view", "purchase"))
 
+  /** J6 via the cell-cover equi-join — identical semantics to [[pipJoin]]
+    * through the non-broadcast plan (must agree with q17's oracle exactly). */
+  def pipCellJoin(spark: SparkSession, dir: String): DataFrame =
+    PipJoin.joinViaCellCover(eventPoints(spark, dir), boundaries,
+        "lon", "lat", "event_id")
+      .groupBy(col("boundary_id"))
+      .agg(count(lit(1)).as("n_points"),
+        countDistinct(col("user_id")).as("n_users"))
+
   /** kNN via hex-ring expansion vs 5 fixed query points, k=5. */
   val knnQueries: Seq[Knn.QueryPoint] = Seq(
     Knn.QueryPoint(1, -120.0, -60.0), Knn.QueryPoint(2, 0.0, 0.0),
