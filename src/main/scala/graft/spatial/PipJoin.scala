@@ -78,6 +78,15 @@ object PipJoin {
                        level: Int = 6): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
+    // an antimeridian-crossing ring (minLon > maxLon) would produce an EMPTY
+    // x-range and be silently dropped by the join — and the planar ray-cast
+    // itself (like the reference's AOI handling) does not support crossing
+    // rings. Fail loudly: callers must split such polygons at ±180 upstream
+    // (standard GIS practice), after which each half covers correctly.
+    boundaries.foreach { b =>
+      require(b.minLon <= b.maxLon,
+        s"boundary '${b.id}' crosses the antimeridian (minLon ${b.minLon} > maxLon ${b.maxLon}); split it at ±180 first")
+    }
     val bRows = boundaries.zipWithIndex.flatMap { case (b, ord) =>
       val x0 = Quadkey.tileX(b.minLon, level); val x1 = Quadkey.tileX(b.maxLon, level)
       val y0 = Quadkey.tileY(b.maxLat, level); val y1 = Quadkey.tileY(b.minLat, level)
