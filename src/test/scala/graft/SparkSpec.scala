@@ -210,6 +210,31 @@ class AnnSparkSpec extends AnyFunSuite {
     assert(part == want, s"IVF nprobe=3 missed: ${(want -- part).take(5)}")
   }
 
+  test("block-pair triangle decomposition is exact for odd/edge block counts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val r = new Prop.Rng(23)
+    val dim = 8
+    // include planted near-identical pairs so the threshold actually fires
+    val rows: Seq[(Long, Array[Double])] = (0 until 25).flatMap { i =>
+      val b0 = Array.fill(dim)(r.double(-1, 1))
+      Seq((i * 2L, b0), (i * 2L + 1, b0.map(c => c + r.double(-0.02, 0.02))))
+    }
+    val truth = (for {
+      i <- rows.indices; j <- (i + 1) until rows.length
+      if Ann.cosine(rows(i)._2, rows(j)._2) >= 0.9
+    } yield (math.min(rows(i)._1, rows(j)._1), math.max(rows(i)._1, rows(j)._1))).toSet
+    assert(truth.size >= 25)
+    // write a tiny embeddings table so the dir-based API runs as-is
+    val dir = java.nio.file.Files.createTempDirectory("blkpair").toString
+    rows.toDF("vec_id", "embedding").write.parquet(s"$dir/embeddings.parquet")
+    for (blocks <- Seq(1, 3, 5, 8)) {
+      val got = Ann.cosineNearDupPairs(spark, dir, minCos = 0.9, blocks = blocks)
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(got == truth, s"blocks=$blocks: missed=${(truth -- got).take(3)} extra=${(got -- truth).take(3)}")
+    }
+  }
+
   test("LSH near-dup tier: recall 1.0 vs the exact block kernel on planted dups, with real pruning") {
     import spark.implicits._
     val r = new Prop.Rng(17)
