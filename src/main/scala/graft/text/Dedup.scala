@@ -269,9 +269,17 @@ object Dedup {
     * Bucketed by `source` to bound pairs. */
   def ngramJaccard(spark: SparkSession, dir: String, w: Int = 3, minJ: Double = 0.2,
                    maxDf: Int = 5): DataFrame = {
-    val shUdf = udf { (text: String) => shingles(text, w).distinct }
+    import spark.implicits._
+    // distinct shingle HASHES, not strings: the df rollup and both sides of
+    // the intersection self-join exchange 8-byte longs instead of w-token
+    // strings (the q27 string-free pattern). The gate oracle still joins on
+    // STRING shingles — an independent representation that would catch a
+    // 64-bit collision, not inherit it.
     val d = table(spark, dir, "documents")
-      .select(col("doc_id"), col("source"), shUdf(col("text")).as("sh"))
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, src, text) => (id, src, shingleHashes(text, w)) })
+      .toDF("doc_id", "source", "sh")
     val ex = d.select(col("doc_id"), col("source"), explode(col("sh")).as("g"))
     // document-frequency cap: the df agg and the semi-join both shuffle on g,
     // the same key as the intersection self-join below — one partitioning
