@@ -96,7 +96,7 @@ object Changesets {
       (3L, """{"comment":"#import big area"}""", "2020-02-01 12:00:00",
         0.0, 40.0, 0.0, 40.0, 900, 9L, "carol", 999L, 100000L, "2010-01-01 00:00:00", "2020-02-01 12:00:00", 2500)
     )
-    parse(rows.toDF(enhancedSchema.fieldNames: _*)
+    parse(rows.toDF(enhancedSchema.fieldNames.toIndexedSeq: _*)
       .withColumn("num_changes", col("num_changes").cast("int"))
       .withColumn("days", col("days").cast("int")))
   }
@@ -116,7 +116,7 @@ object Changesets {
       (4L, """{"source":"gps"}""",
         "2020-02-02 09:30:00", 48.0, 48.2, 2.0, 2.2, 12, 10L, "dave") // no comment
     )
-    parse(rows.toDF(schema.fieldNames: _*)
+    parse(rows.toDF(schema.fieldNames.toIndexedSeq: _*)
       .withColumn("num_changes", col("num_changes").cast("int")))
   }
 
