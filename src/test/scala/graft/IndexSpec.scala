@@ -18,6 +18,23 @@ class QuadkeySpec extends AnyFunSuite {
     assert(Quadkey.tileY(0.0001, 1) == 0)
   }
 
+  test("extreme coordinates clamp, never throw, and stay in range (poles/antimeridian)") {
+    import graft.index.{Quadkey, Hex, S2Like}
+    val extremes = Seq(
+      (-180.0, -90.0), (180.0, 90.0), (-180.0, 90.0), (180.0, -90.0),
+      (0.0, 90.0), (0.0, -90.0), (-180.0, 0.0), (180.0, 0.0),
+      (179.9999999, 85.05112878), (-179.9999999, -85.05112878))
+    for ((lon, lat) <- extremes; z <- Seq(1, 6, 12)) {
+      val c = Quadkey.cellIdOf(lon, lat, z)
+      val x = Quadkey.tileX(lon, z); val y = Quadkey.tileY(lat, z)
+      assert(x >= 0 && x < (1 << z) && y >= 0 && y < (1 << z), s"($lon,$lat,z$z) -> ($x,$y)")
+      assert(c == Quadkey.cellId(x, y, z))
+      // the other encoders must also accept the full domain without throwing
+      Hex.latLngToCell(lat, lon, 7)
+      S2Like.cellIdAt(lat, lon, 12)
+    }
+  }
+
   test("quadkey string + cell id roundtrips (property)") {
     forAllSeeded() { r =>
       val lon = r.double(-179.99, 179.99); val lat = r.double(-84.9, 84.9)
