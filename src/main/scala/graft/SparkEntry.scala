@@ -58,6 +58,8 @@ object SparkEntry {
     "q27_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
     "q28_simhash" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     "q29_fingerprint" -> (TextOps.fingerprints _),
+    // per-language exact quality percentiles (pretraining filter thresholds)
+    "q51_quality_percentiles" -> (TextOps.qualityPercentiles _),
     // ANN over embeddings
     "q30_ann_brute" -> ((s: SparkSession, d: String) => Ann.bruteTopK(s, d)),
     "q31_ann_lsh" -> ((s: SparkSession, d: String) => Ann.lshTopK(s, d)),
@@ -381,6 +383,16 @@ object SparkEntry {
          ceil(length(text)/4.0)::BIGINT AS bpe_est,
          len(list_distinct(string_split(text,' ')))::INT AS distinct_tokens
          FROM documents""",
+    "q51_quality_percentiles" ->
+      """WITH t AS (SELECT lang, string_split(text,' ') AS toks FROM documents),
+         b AS (SELECT lang,
+           floor(len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','it','on','for','with','as','at','by'))) * 10000.0 / len(toks))::BIGINT AS stop_bp
+         FROM t)
+         SELECT lang, count(*)::BIGINT AS n_docs,
+           floor(quantile_cont(stop_bp, 0.1) * 1000000.0 + 0.5)::BIGINT AS p10_e6,
+           floor(quantile_cont(stop_bp, 0.5) * 1000000.0 + 0.5)::BIGINT AS p50_e6,
+           floor(quantile_cont(stop_bp, 0.9) * 1000000.0 + 0.5)::BIGINT AS p90_e6
+         FROM b GROUP BY 1""",
     "q24_lang_id" ->
       """WITH t AS (SELECT doc_id, lang, string_split(text,' ') AS toks FROM documents),
          h AS (SELECT doc_id, lang AS true_lang,

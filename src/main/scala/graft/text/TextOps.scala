@@ -70,6 +70,26 @@ object TextOps {
         langs.map(l => col(s"hits_$l"))): _*)
   }
 
+  /** Per-language EXACT quality-score percentiles — the curve a pretraining
+    * filter thresholds against ("drop docs below the language's p10"). Exact
+    * `percentile` (not the sketch) over the integer stop-word ratio, reported
+    * in e6 fixed-point; at 10^12 rows swap in `percentile_approx` with the
+    * same shape (the exact variant is what the oracle can certify). */
+  def qualityPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val t = toks
+    val nTok = size(t)
+    val stopHits = size(filter(t, x => x.isin(Stopwords.map(lit(_)): _*)))
+    table(spark, dir, "documents")
+      .select(col("lang"), ((stopHits * 10000L) / nTok).cast("long").as("stop_bp"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        percentile(col("stop_bp"), array(lit(0.1), lit(0.5), lit(0.9))).as("ps"))
+      .select(col("lang"), col("n_docs"),
+        floor(element_at(col("ps"), 1) * lit(1e6) + lit(0.5)).cast("long").as("p10_e6"),
+        floor(element_at(col("ps"), 2) * lit(1e6) + lit(0.5)).cast("long").as("p50_e6"),
+        floor(element_at(col("ps"), 3) * lit(1e6) + lit(0.5)).cast("long").as("p90_e6"))
+  }
+
   /** Rolling polynomial document fingerprint (64-bit, from scratch): a
     * content-defined digest usable for shift-robust dedup. UDF by design —
     * loops over tokens; ScalaTest-verified, rows-only at the gate. */
