@@ -60,6 +60,7 @@ object SparkEntry {
     "q29_fingerprint" -> (TextOps.fingerprints _),
     // per-language exact quality percentiles (pretraining filter thresholds)
     "q51_quality_percentiles" -> (TextOps.qualityPercentiles _),
+    "q52_quality_band_filter" -> (TextOps.qualityBandFilter _),
     // ANN over embeddings
     "q30_ann_brute" -> ((s: SparkSession, d: String) => Ann.bruteTopK(s, d)),
     "q31_ann_lsh" -> ((s: SparkSession, d: String) => Ann.lshTopK(s, d)),
@@ -383,6 +384,20 @@ object SparkEntry {
          ceil(length(text)/4.0)::BIGINT AS bpe_est,
          len(list_distinct(string_split(text,' ')))::INT AS distinct_tokens
          FROM documents""",
+    "q52_quality_band_filter" ->
+      """WITH t AS (SELECT lang, doc_id, source, string_split(text,' ') AS toks FROM documents),
+         b AS (SELECT lang, doc_id, source,
+           floor(len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','it','on','for','with','as','at','by'))) * 10000.0 / len(toks))::BIGINT AS stop_bp
+         FROM t),
+         th AS (SELECT lang,
+           floor(quantile_cont(stop_bp, 0.1) * 1000000.0 + 0.5)::BIGINT AS p10_e6,
+           floor(quantile_cont(stop_bp, 0.9) * 1000000.0 + 0.5)::BIGINT AS p90_e6
+         FROM b GROUP BY 1)
+         SELECT b.lang, count(*)::BIGINT AS n_kept, count(DISTINCT b.source)::BIGINT AS n_sources,
+           min(b.stop_bp)::BIGINT AS min_bp, max(b.stop_bp)::BIGINT AS max_bp
+         FROM b JOIN th ON b.lang = th.lang
+         WHERE b.stop_bp * 1000000 >= th.p10_e6 AND b.stop_bp * 1000000 <= th.p90_e6
+         GROUP BY 1""",
     "q51_quality_percentiles" ->
       """WITH t AS (SELECT lang, string_split(text,' ') AS toks FROM documents),
          b AS (SELECT lang,

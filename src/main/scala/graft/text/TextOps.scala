@@ -90,6 +90,30 @@ object TextOps {
         floor(element_at(col("ps"), 3) * lit(1e6) + lit(0.5)).cast("long").as("p90_e6"))
   }
 
+  /** The filter those percentiles exist for: keep each language's central
+    * quality band ([p10, p90] of the stop-word ratio), dropping both tails —
+    * the canonical two-pass shape of a distribution-calibrated pretraining
+    * filter (pass 1 computes thresholds — an aggregate of the scan; pass 2
+    * filters against the broadcast 4-row threshold table). Comparison happens
+    * in e6-integer space on exactly the values q51 certifies, so the band
+    * edges cannot FP-flip. */
+  def qualityBandFilter(spark: SparkSession, dir: String): DataFrame = {
+    val t = toks
+    val nTok = size(t)
+    val stopHits = size(filter(t, x => x.isin(Stopwords.map(lit(_)): _*)))
+    val scored = table(spark, dir, "documents")
+      .select(col("lang"), col("doc_id"), col("source"),
+        ((stopHits * 10000L) / nTok).cast("long").as("stop_bp"))
+    val th = qualityPercentiles(spark, dir).select(col("lang"), col("p10_e6"), col("p90_e6"))
+    scored.join(broadcast(th), Seq("lang"))
+      .filter(col("stop_bp") * lit(1000000L) >= col("p10_e6") &&
+        col("stop_bp") * lit(1000000L) <= col("p90_e6"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"),
+        countDistinct(col("source")).as("n_sources"),
+        min(col("stop_bp")).as("min_bp"), max(col("stop_bp")).as("max_bp"))
+  }
+
   /** Rolling polynomial document fingerprint (64-bit, from scratch): a
     * content-defined digest usable for shift-robust dedup. UDF by design —
     * loops over tokens; ScalaTest-verified, rows-only at the gate. */
