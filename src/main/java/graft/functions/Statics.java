@@ -36,6 +36,12 @@ public final class Statics {
     return (int) ((m & 0x7FFFFFFFL) % 4L);
   }
 
+  /** splitmix64(x) reduced to basis points [0, 10000) — the deterministic
+   *  sampling key for hash-based downsampling. */
+  public static long mixBp(long x) {
+    return (graft.synth.ImageSynth$.MODULE$.mix(x) & 0x7FFFFFFFL) % 10000L;
+  }
+
   /** Feature-class noun ordinal (caption noun) 0..5. */
   public static int metaNounId(long i) {
     return graft.synth.ImageSynth$.MODULE$.nounIdOf(seedOf(i));

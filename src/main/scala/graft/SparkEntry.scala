@@ -61,6 +61,7 @@ object SparkEntry {
     // per-language exact quality percentiles (pretraining filter thresholds)
     "q51_quality_percentiles" -> (TextOps.qualityPercentiles _),
     "q52_quality_band_filter" -> (TextOps.qualityBandFilter _),
+    "q53_mix_sample" -> (TextOps.mixSample _),
     // ANN over embeddings
     "q30_ann_brute" -> ((s: SparkSession, d: String) => Ann.bruteTopK(s, d)),
     "q31_ann_lsh" -> ((s: SparkSession, d: String) => Ann.lshTopK(s, d)),
@@ -384,6 +385,14 @@ object SparkEntry {
          ceil(length(text)/4.0)::BIGINT AS bpe_est,
          len(list_distinct(string_split(text,' ')))::INT AS distinct_tokens
          FROM documents""",
+    "q53_mix_sample" ->
+      s"""WITH d AS (SELECT source, doc_id::UBIGINT AS x FROM documents),
+         h AS (SELECT source, (${OracleSql.mix("x")} & 2147483647) % 10000 AS h_bp,
+                 10000 - CAST(substr(source, 4) AS BIGINT) * 450 AS rate_bp
+               FROM d)
+         SELECT source, count(*)::BIGINT AS n_kept, min(rate_bp)::BIGINT AS rate_bp,
+           max(h_bp)::BIGINT AS max_h_bp
+         FROM h WHERE h_bp < rate_bp GROUP BY 1""",
     "q52_quality_band_filter" ->
       """WITH t AS (SELECT lang, doc_id, source, string_split(text,' ') AS toks FROM documents),
          b AS (SELECT lang, doc_id, source,

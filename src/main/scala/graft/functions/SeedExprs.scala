@@ -33,6 +33,7 @@ case class SeedScalar(child: Expression, fn: String, resultType: DataType)
       case "metaNounId" => Statics.metaNounId(i)
       case "segDLon" => Statics.segDLon(i)
       case "segDLat" => Statics.segDLat(i)
+      case "mixBp" => Statics.mixBp(i)
     }
   }
 
@@ -95,6 +96,7 @@ object SeedExprs {
   def metaNounId(idx: Column): Column = co(SeedScalar(ex(idx), "metaNounId", IntegerType))
   def segDLon(idx: Column): Column = co(SeedScalar(ex(idx), "segDLon", DoubleType))
   def segDLat(idx: Column): Column = co(SeedScalar(ex(idx), "segDLat", DoubleType))
+  def mixBp(idx: Column): Column = co(SeedScalar(ex(idx), "mixBp", LongType))
   def hexCell(lat: Column, lon: Column, res: Int): Column =
     co(CellScalar(ex(lat), ex(lon), res, "hexCell"))
   def s2Cell(lat: Column, lon: Column, level: Int): Column =

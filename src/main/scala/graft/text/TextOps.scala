@@ -114,6 +114,25 @@ object TextOps {
         min(col("stop_bp")).as("min_bp"), max(col("stop_bp")).as("max_bp"))
   }
 
+  /** Deterministic hash-based downsampling — the data-mixing primitive: each
+    * source keeps `rate_bp` basis points of its documents, selected by a
+    * splitmix64 of the stable doc_id (a codegen expression, so the sampling
+    * predicate can push toward the scan and the same row is kept on every
+    * rerun/cluster — reproducible mixes, no RNG state). Rates here derive
+    * from the source index (src0 keeps all … src19 keeps 14.5%); a real run
+    * passes its mixing table the same way. */
+  def mixSample(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.SeedExprs
+    table(spark, dir, "documents")
+      .select(col("source"), col("doc_id"))
+      .withColumn("h_bp", SeedExprs.mixBp(col("doc_id")))
+      .withColumn("rate_bp", lit(10000L) - substring(col("source"), 4, 10).cast("long") * 450L)
+      .filter(col("h_bp") < col("rate_bp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), min(col("rate_bp")).as("rate_bp"),
+        max(col("h_bp")).as("max_h_bp"))
+  }
+
   /** Rolling polynomial document fingerprint (64-bit, from scratch): a
     * content-defined digest usable for shift-robust dedup. UDF by design —
     * loops over tokens; ScalaTest-verified, rows-only at the gate. */
