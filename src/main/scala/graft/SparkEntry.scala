@@ -62,6 +62,7 @@ object SparkEntry {
     "q51_quality_percentiles" -> (TextOps.qualityPercentiles _),
     "q52_quality_band_filter" -> (TextOps.qualityBandFilter _),
     "q53_mix_sample" -> (TextOps.mixSample _),
+    "q54_mix_allocation" -> (TextOps.mixAllocation _),
     // ANN over embeddings
     "q30_ann_brute" -> ((s: SparkSession, d: String) => Ann.bruteTopK(s, d)),
     "q31_ann_lsh" -> ((s: SparkSession, d: String) => Ann.lshTopK(s, d)),
@@ -385,6 +386,16 @@ object SparkEntry {
          ceil(length(text)/4.0)::BIGINT AS bpe_est,
          len(list_distinct(string_split(text,' ')))::INT AS distinct_tokens
          FROM documents""",
+    "q54_mix_allocation" ->
+      """WITH p AS (SELECT source, count(*)::BIGINT AS n_docs,
+           sum(len(string_split(text,' ')))::BIGINT AS src_tokens
+         FROM documents GROUP BY 1),
+         t AS (SELECT *, (SELECT sum(src_tokens) FROM p)::BIGINT AS total_tokens,
+                 (SELECT count(*) FROM p)::BIGINT AS n_sources FROM p)
+         SELECT source, n_docs, src_tokens,
+           ((total_tokens // 2) // n_sources)::BIGINT AS budget_share,
+           least(10000, (((total_tokens // 2) // n_sources) * 10000) // src_tokens)::BIGINT AS rate_bp
+         FROM t""",
     "q53_mix_sample" ->
       s"""WITH d AS (SELECT source, doc_id::UBIGINT AS x FROM documents),
          h AS (SELECT source, (${OracleSql.mix("x")} & 2147483647) % 10000 AS h_bp,

@@ -133,6 +133,33 @@ object TextOps {
         max(col("h_bp")).as("max_h_bp"))
   }
 
+  /** Mixing-rate derivation — the pass that PRODUCES [[mixSample]]'s rate
+    * table: per-source whitespace-token totals, an equal per-source token
+    * budget (half the corpus split `nSources` ways), and the resulting
+    * keep-rate `min(1, budget/tokens)` in basis points. All integer
+    * arithmetic (exact at any scale; the budget share uses integer division
+    * on both sides), one aggregation + one tiny window over source totals. */
+  def mixAllocation(spark: SparkSession, dir: String): DataFrame = {
+    val perSource = table(spark, dir, "documents")
+      .select(col("source"), size(toks).cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("src_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy()
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    perSource
+      .withColumn("total_tokens", sum(col("src_tokens")).over(w))
+      .withColumn("n_sources", count(lit(1)).over(w))
+      // `div`, not `/`: Spark's / on longs is DOUBLE division; the mixing
+      // table must be exact integer arithmetic to match the oracle's `//`
+      .withColumn("budget_share", expr("(total_tokens div 2) div n_sources"))
+      .withColumn("rate_bp",
+        least(lit(10000L), expr("(budget_share * 10000) div src_tokens")))
+      .select(col("source"), col("n_docs"), col("src_tokens"),
+        col("budget_share"), col("rate_bp"))
+  }
+
   /** Rolling polynomial document fingerprint (64-bit, from scratch): a
     * content-defined digest usable for shift-robust dedup. UDF by design —
     * loops over tokens; ScalaTest-verified, rows-only at the gate. */
