@@ -55,8 +55,14 @@ object SparkEntry {
     "q24_lang_id" -> (TextOps.langId _),
     "q25_exact_dedup" -> (Dedup.exactDupStats _),
     "q26_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
-    "q27_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
-    "q28_simhash" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
+    // gate entries run UNCAPPED (maxBucket off): their oracles are exact
+    // all-pairs, and a finite default cap would silently diverge from them
+    // as bucket sizes grow with the corpus. The hot-bucket caps are the
+    // documented scale knob — bound adversarially in DedupHotBucketSpec.
+    "q27_minhash_lsh" -> ((s: SparkSession, d: String) =>
+      Dedup.minhashLsh(s, d, maxBucket = Int.MaxValue)),
+    "q28_simhash" -> ((s: SparkSession, d: String) =>
+      Dedup.simhashPairs(s, d, maxBucket = Int.MaxValue)),
     "q29_fingerprint" -> (TextOps.fingerprints _),
     // per-language exact quality percentiles (pretraining filter thresholds)
     "q51_quality_percentiles" -> (TextOps.qualityPercentiles _),

@@ -47,7 +47,19 @@ object Validate {
     * TYPE_INT_RGB (zero copy), one batch getRGB into the reused buffer
     * otherwise (decoded JPEGs are TYPE_3BYTE_BGR). */
   private def packedPixels(img: java.awt.image.BufferedImage, buf: ThreadLocal[Array[Int]]): Array[Int] = {
-    if (img.getType == java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // the zero-copy path needs the backing array to be exactly w*h contiguous
+    // ints from offset 0 — NOT true for subimages or strided rasters, which
+    // must take the batch-conversion path or PSNR reads the wrong pixels
+    val sm = img.getSampleModel
+    val direct = img.getType == java.awt.image.BufferedImage.TYPE_INT_RGB &&
+      img.getRaster.getDataBuffer.getOffset == 0 &&
+      img.getRaster.getSampleModelTranslateX == 0 &&
+      img.getRaster.getSampleModelTranslateY == 0 &&
+      (sm match {
+        case c: java.awt.image.SinglePixelPackedSampleModel => c.getScanlineStride == img.getWidth
+        case _ => false
+      })
+    if (direct)
       img.getRaster.getDataBuffer.asInstanceOf[java.awt.image.DataBufferInt].getData
     else {
       val n = img.getWidth * img.getHeight

@@ -91,21 +91,25 @@ object PipJoin {
       val x0 = Quadkey.tileX(b.minLon, level); val x1 = Quadkey.tileX(b.maxLon, level)
       val y0 = Quadkey.tileY(b.maxLat, level); val y1 = Quadkey.tileY(b.minLat, level)
       for (x <- x0 to x1; y <- y0 to y1)
-        yield (Quadkey.cellId(x, y, level), ord, b.id, b.lons.toSeq, b.lats.toSeq)
+        yield (Quadkey.cellId(x, y, level), ord, b.id, b.lons.toSeq, b.lats.toSeq,
+          b.minLon, b.maxLon, b.minLat, b.maxLat)
     }
-    val bDf = bRows.toDF("cell", "__ord", "boundary_id", "__b_lons", "__b_lats")
+    val bDf = bRows.toDF("cell", "__ord", "boundary_id", "__b_lons", "__b_lats",
+      "__w", "__e", "__s", "__n")
     val pts = points.withColumn("cell",
       Quadkey.cellIdCol(col(lonCol), col(latCol), level))
-    val contains = udf { (lon: Double, lat: Double, lons: Seq[Double], lats: Seq[Double]) =>
-      val la = lons.toArray; val lb = lats.toArray
-      lon >= la.min && lon <= la.max && lat >= lb.min && lat <= lb.max &&
-        graft.geo.Geo.pointInRing(lon, lat, la, lb)
+    val inRing = udf { (lon: Double, lat: Double, lons: Seq[Double], lats: Seq[Double]) =>
+      graft.geo.Geo.pointInRing(lon, lat, lons.toArray, lats.toArray)
     }
+    // bbox rejection on the precomputed scalars (pure Column, codegen) so the
+    // ray-cast UDF only runs on rows inside a boundary's bbox
     val cand = pts.join(bDf, Seq("cell"))
-      .filter(contains(col(lonCol), col(latCol), col("__b_lons"), col("__b_lats")))
+      .filter(col(lonCol) >= col("__w") && col(lonCol) <= col("__e") &&
+        col(latCol) >= col("__s") && col(latCol) <= col("__n"))
+      .filter(inRing(col(lonCol), col(latCol), col("__b_lons"), col("__b_lats")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("__ord"))
     cand.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-      .drop("__rn", "__ord", "__b_lons", "__b_lats", "cell")
+      .drop("__rn", "__ord", "__b_lons", "__b_lats", "__w", "__e", "__s", "__n", "cell")
   }
 }

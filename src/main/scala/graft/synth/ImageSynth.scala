@@ -98,19 +98,20 @@ object ImageSynth {
     val cellW = math.max(1, img.getWidth / gw)
     val cellH = math.max(1, img.getHeight / gh)
     val lum = new Array[Double](gw * gh)
+    // render output is TYPE_INT_RGB — read its backing array directly
+    // (getRGB converts through the ColorModel per pixel); other types
+    // (callers hashing decoded images) keep the generic path. Hoisted once
+    // per image, not per 8x8 cell.
+    val px = img.getRaster.getDataBuffer match {
+      case b: java.awt.image.DataBufferInt if img.getType == BufferedImage.TYPE_INT_RGB => b.getData
+      case _ => null
+    }
+    val iw = img.getWidth
     var gy = 0
     while (gy < gh) {
       var gx = 0
       while (gx < gw) {
         var s = 0.0; var n = 0
-        // render output is TYPE_INT_RGB — read its backing array directly
-        // (getRGB converts through the ColorModel per pixel); other types
-        // (callers hashing decoded images) keep the generic path
-        val px = img.getRaster.getDataBuffer match {
-          case b: java.awt.image.DataBufferInt if img.getType == BufferedImage.TYPE_INT_RGB => b.getData
-          case _ => null
-        }
-        val iw = img.getWidth
         var y = gy * cellH
         while (y < math.min((gy + 1) * cellH, img.getHeight)) {
           var x = gx * cellW

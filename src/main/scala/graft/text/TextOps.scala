@@ -23,22 +23,31 @@ object TextOps {
 
   private def toks = split(col("text"), " ")
 
+  /** Stop-word hit count over the token array (shared by quality scoring,
+    * the percentile thresholds and the band filter — ONE definition, so the
+    * filter can never desynchronize from the thresholds it compares against;
+    * the q22/q51/q52 oracles encode the same expression). */
+  private def stopHitsOf(t: org.apache.spark.sql.Column) =
+    size(filter(t, x => x.isin(Stopwords.map(lit(_)): _*)))
+
+  /** Stop-word ratio in basis points (integer division — exact). */
+  private def stopBpOf(t: org.apache.spark.sql.Column) =
+    ((stopHitsOf(t) * 10000L) / size(t)).cast("long")
+
   /** Quality scoring (length / stopword / token-shape features) — the
     * heuristics a pretraining filter computes per document. All-integer
     * outputs + one exact ratio in basis points. */
   def quality(spark: SparkSession, dir: String): DataFrame = {
     val t = toks
     val nTok = size(t)
-    val stopHits = size(filter(t, x => x.isin(Stopwords.map(lit(_)): _*)))
     table(spark, dir, "documents").select(
       col("doc_id"),
       length(col("text")).as("n_chars"),
       nTok.as("n_tokens"),
-      stopHits.as("n_stopwords"),
+      stopHitsOf(t).as("n_stopwords"),
       // mean token length ×100, exact integer arithmetic
       (((length(col("text")) - nTok + 1) * 100L) / nTok).cast("long").as("mean_tok_len_c"),
-      // stopword ratio in basis points (integer division — exact)
-      ((stopHits * 10000L) / nTok).cast("long").as("stop_bp"),
+      stopBpOf(t).as("stop_bp"),
       size(filter(t, x => length(x) >= 8)).as("n_long_tokens"))
   }
 
@@ -76,11 +85,8 @@ object TextOps {
     * in e6 fixed-point; at 10^12 rows swap in `percentile_approx` with the
     * same shape (the exact variant is what the oracle can certify). */
   def qualityPercentiles(spark: SparkSession, dir: String): DataFrame = {
-    val t = toks
-    val nTok = size(t)
-    val stopHits = size(filter(t, x => x.isin(Stopwords.map(lit(_)): _*)))
     table(spark, dir, "documents")
-      .select(col("lang"), ((stopHits * 10000L) / nTok).cast("long").as("stop_bp"))
+      .select(col("lang"), stopBpOf(toks).as("stop_bp"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         percentile(col("stop_bp"), array(lit(0.1), lit(0.5), lit(0.9))).as("ps"))
@@ -98,12 +104,9 @@ object TextOps {
     * in e6-integer space on exactly the values q51 certifies, so the band
     * edges cannot FP-flip. */
   def qualityBandFilter(spark: SparkSession, dir: String): DataFrame = {
-    val t = toks
-    val nTok = size(t)
-    val stopHits = size(filter(t, x => x.isin(Stopwords.map(lit(_)): _*)))
     val scored = table(spark, dir, "documents")
       .select(col("lang"), col("doc_id"), col("source"),
-        ((stopHits * 10000L) / nTok).cast("long").as("stop_bp"))
+        stopBpOf(toks).as("stop_bp"))
     val th = qualityPercentiles(spark, dir).select(col("lang"), col("p10_e6"), col("p90_e6"))
     scored.join(broadcast(th), Seq("lang"))
       .filter(col("stop_bp") * lit(1000000L) >= col("p10_e6") &&

@@ -51,9 +51,6 @@ for arg in sys.argv[4:]:
     pairs.append((a, b, ep, ev, e_int, e_trig))
 pairs_by_ep = sorted(pairs, key=lambda p: p[2])
 a, b, ep, ev, e_int, e_trig = pairs_by_ep[len(pairs_by_ep) // 2]  # median pipeline-efficiency pair
-rows = []
-for (pa, pb, pep, pev, pei, pet) in pairs:
-    rows.append(f"| {pep:.3f} | {pev:.3f} | {pei:.3f} | {pet:.3f} | {pep/pet:.3f} | {pev/pei:.3f} | {pa['steal_pct']}/{pb['steal_pct']} |")
 md = f"""# BENCH — two-parallelism scaling evidence (north_rule)
 
 Same job, same input, JVM pinned with `taskset` to {n} vs {4*n} CPUs
@@ -77,9 +74,9 @@ validation: {", ".join(f"{p[3]:.3f}" for p in pairs)}. Target: >= 0.8
 
 ## Host anchors — how to read variance on this machine
 
-| pair | pipeline raw | validate raw | int-spin anchor | trig-spin anchor | steal% {n}/{4*n} |
-|---|---|---|---|---|---|
-{chr(10).join(f"| {i+1} | {p[2]:.3f} | {p[3]:.3f} | {p[4]:.3f} | {p[5]:.3f} | {p[0]['steal_pct']}/{p[1]['steal_pct']} |" for i, p in enumerate(pairs))}
+| pair | pipeline raw | validate raw | int-spin anchor | trig-spin anchor | pipe/trig | val/int | steal% {n}/{4*n} |
+|---|---|---|---|---|---|---|---|
+{chr(10).join(f"| {i+1} | {p[2]:.3f} | {p[3]:.3f} | {p[4]:.3f} | {p[5]:.3f} | {p[2]/p[5]:.3f} | {p[3]/p[4]:.3f} | {p[0]['steal_pct']}/{p[1]['steal_pct']} |" for i, p in enumerate(pairs))}
 
 This sandbox is an oversubscribed VM whose {n}→{4*n}-core ceiling is
 instruction-mix dependent (plain Java threads, no Spark): the integer spin
@@ -95,7 +92,7 @@ numbers are meaningless here, hence pairs + median.
 Stage attribution (ScaleProbe): at {n} cores the distinct-user aggregation
 bounds the pipeline; at {4*n} cores the trig-bound scan is — the agg scales
 superlinearly as per-task hash state shrinks.
-""""""
+"""
 open("BENCH.md", "w").write(md)
 print(json.dumps({"pipeline_eff_median": ep, "validate_eff_median": ev,
                   "int_anchor": e_int, "trig_anchor": e_trig}))
