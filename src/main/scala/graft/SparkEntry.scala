@@ -72,6 +72,10 @@ object SparkEntry {
     // ANN over embeddings
     "q30_ann_brute" -> ((s: SparkSession, d: String) => Ann.bruteTopK(s, d)),
     "q31_ann_lsh" -> ((s: SparkSession, d: String) => Ann.lshTopK(s, d)),
+    // IVF through its inverted-list plan at FULL probe: every list is
+    // scanned, so the relation must equal brute-force exactly (q30's oracle)
+    "q55_ann_ivf" -> ((s: SparkSession, d: String) =>
+      Ann.ivfTopK(s, d, nlist = 16, nprobe = 16)),
     // embedding-cosine near-dup: dedup-grade exact pair extraction over the
     // embeddings table (block-pair partitioned all-pairs; the LSH prefilter
     // tier and when it applies are documented in Ann.cosineNearDupPairs)
@@ -491,6 +495,12 @@ object SparkEntry {
            floor(i.common * 10000.0 / (na.n_sh + nb.n_sh - i.common))::BIGINT AS j_bp
          FROM inter i JOIN n na ON i.a=na.doc_id JOIN n nb ON i.b=nb.doc_id
          WHERE floor(i.common * 10000.0 / (na.n_sh + nb.n_sh - i.common)) >= 5000""",
+    "q55_ann_ivf" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5),
+         d AS (SELECT q.qid, v.vec_id, list_cosine_similarity(q.qe, v.e) AS c FROM v CROSS JOIN q),
+         r AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rk FROM d)
+         SELECT qid, vec_id, rk::INT AS rank FROM r WHERE rk <= 10""",
     "q30_ann_brute" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5),
