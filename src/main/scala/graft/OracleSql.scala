@@ -353,6 +353,26 @@ object OracleSql {
        |FROM mz GROUP BY 1, 2, 3""".stripMargin
   }
 
+  /** Replica oracle for q56 (tile centers): inverse web-mercator with the
+    * same operation order as Quadkey.tileBounds/tileCenter (w and e computed
+    * separately then averaged; lat via degrees(atan(sinh(π(1−2y/n))))),
+    * e6-rounded to absorb Java-vs-libm ulp differences in atan/sinh. */
+  def q56(n: Long): String = {
+    // DuckDB has no sinh: (exp(t)-exp(-t))/2 differs from Java's Math.sinh
+    // only in final ulps, absorbed by the e6 rounding
+    def latOf(yy: String) = {
+      val t = s"(pi() * (1.0 - 2.0 * ($yy) / 4096.0))"
+      s"degrees(atan((exp($t) - exp(-$t)) / 2.0))"
+    }
+    s"""WITH ${pipelineCtes(n)},
+       |g2 AS (SELECT tile, tx, ty, count(*)::BIGINT AS n_feats
+       |       FROM pj WHERE boundary_id IS NOT NULL GROUP BY 1, 2, 3)
+       |SELECT tile, n_feats,
+       |  floor(((tx / 4096.0 * 360.0 - 180.0) + ((tx + 1) / 4096.0 * 360.0 - 180.0)) / 2.0 * 1000000.0 + 0.5)::BIGINT AS c_lon_e6,
+       |  floor((${latOf("ty + 1.0")} + ${latOf("ty::DOUBLE")}) / 2.0 * 1000000.0 + 0.5)::BIGINT AS c_lat_e6
+       |FROM g2""".stripMargin
+  }
+
   // ---- q31: full ANN-LSH replica oracle ------------------------------------
 
   /** Complete DuckDB replica of graft.ann.Ann.lshTopK: the deterministic

@@ -99,6 +99,9 @@ object SparkEntry {
       graft.geo.GeoJson.roundTripSummary(graft.spatial.SpatialQueries.eventPoints(s, d))),
     // LSH recall vs exact brute, measured in-gate (self-certifies q31)
     "q48_ann_lsh_recall" -> ((s: SparkSession, d: String) => Ann.lshRecall(s, d)),
+    // per-tile inverse-mercator centers (X9, turf.center of the tile polygon)
+    "q56_tile_centers" -> ((s: SparkSession, _: String) =>
+      ImagePipeline.tileCenters(s, 2000L, 16)),
     // multi-zoom tile emission (zoom-band layers): bit-shift parent chain
     "q49_multizoom_rollup" -> ((s: SparkSession, _: String) =>
       ImagePipeline.multiZoomRollup(s, 2000L, 16)),
@@ -541,6 +544,7 @@ object SparkEntry {
          FROM p""",
     "q48_ann_lsh_recall" -> OracleSql.q48(graft.ann.Ann.hyperplanes(16, 64)),
     "q49_multizoom_rollup" -> OracleSql.q49(2000),
+    "q56_tile_centers" -> OracleSql.q56(2000),
     // the classifier's output is re-derived ANALYTICALLY from the generator
     // formulas — fully independent of the Spark window-algebra implementation
     "q34_interactions_versions" -> OracleSql.q34(500),

@@ -282,6 +282,30 @@ object ImagePipeline {
       .agg(count(lit(1)).as("n_edits"), countDistinct(col("uid")).as("n_users"))
   }
 
+  /** Per-tile center coordinates (X9 — the reference's
+    * `turf.center(tilebelt.tileToGeoJSON(tile))` for its tilePointSummaries
+    * point geometry, util/map-contribution-extractor.js:279): distinct AOI
+    * tiles with their feature counts and inverse-web-mercator centers in e6
+    * fixed-point. */
+  def tileCenters(spark: SparkSession, n: Long, parts: Int = 16): DataFrame = {
+    import spark.implicits._
+    import graft.functions.SeedExprs
+    val index = new BoundaryIndex(metroBoundaries.toArray)
+    fastFeatures(spark, n, parts)
+      .withColumn("b_ord", SeedExprs.pipOrdinal(col("lon"), col("lat"), index))
+      .filter(col("b_ord") >= 0)
+      .groupBy(col("tile")).agg(count(lit(1)).as("n_feats"))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (t, nf) =>
+        val z = (t >>> 58).toInt
+        val x = ((t >>> 29) & ((1L << 29) - 1)).toInt
+        val y = (t & ((1L << 29) - 1)).toInt
+        val (clon, clat) = Quadkey.tileCenter(x, y, z)
+        (t, nf, math.floor(clon * 1e6 + 0.5).toLong, math.floor(clat * 1e6 + 0.5).toLong)
+      })
+      .toDF("tile", "n_feats", "c_lon_e6", "c_lat_e6")
+  }
+
   // ---- codegen fast path -----------------------------------------------
 
   /** Feature derivation as pure codegen expressions (graft.functions): the
