@@ -123,6 +123,13 @@ object SparkEntry {
         col("sq").isNotNull.as("has_sq"),
         Interactions.mapToStr(col("current_tags")).as("current_tags_s"))
     }),
+    // A12 edit-class counters: per-class rollup of the classifier stream
+    "q57_edit_class_counts" -> ((s: SparkSession, _: String) => {
+      import org.apache.spark.sql.functions._
+      graft.ops.Interactions.classify(graft.ops.Interactions.synthVersions(s, 500).toDF())
+        .groupBy(col("e"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("id")).as("n_entities"))
+    }),
     // map-column tag-KEY predicates end-to-end (SURVEY F1: tag filters on map
     // columns): filter the versions table on map_contains_key, roll up by type
     "q39_tag_key_filter" -> ((s: SparkSession, _: String) => {
@@ -548,6 +555,10 @@ object SparkEntry {
     // the classifier's output is re-derived ANALYTICALLY from the generator
     // formulas — fully independent of the Spark window-algebra implementation
     "q34_interactions_versions" -> OracleSql.q34(500),
+    // group the FULL q34 analytic relation by edit class
+    "q57_edit_class_counts" ->
+      s"""SELECT e, count(*)::BIGINT AS n, count(DISTINCT id)::BIGINT AS n_entities
+         FROM (${OracleSql.q34(500)}) t GROUP BY 1""",
     "q39_tag_key_filter" -> OracleSql.q39(500),
     "q43_interval_filters" -> OracleSql.q43(500, 1500150000L, 1500300000L),
     "q35_roster_rollup" -> graft.ops.Roster.rosterRollupOracle,
