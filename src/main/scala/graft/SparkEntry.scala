@@ -230,6 +230,16 @@ object SparkEntry {
 
   private val tsS = "floor(epoch(ts))::BIGINT"
   private val evWin = "PARTITION BY user_id ORDER BY ts_s, event_id"
+  /** Brute-force cosine top-k via DuckDB's own cosine — shared by q30 (the
+    * brute plan) and q55 (IVF at full probe), which MUST be the same
+    * relation; one definition enforces that by construction. */
+  private val bruteTopKOracle =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5),
+         d AS (SELECT q.qid, v.vec_id, list_cosine_similarity(q.qe, v.e) AS c FROM v CROSS JOIN q),
+         r AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rk FROM d)
+         SELECT qid, vec_id, rk::INT AS rank FROM r WHERE rk <= 10"""
+
   private val pts =
     s"SELECT event_id, event_type, user_id, value, value % 360.0 - 180.0 AS lon, (user_id % 181 - 90)::DOUBLE AS lat FROM events"
 
@@ -505,18 +515,8 @@ object SparkEntry {
            floor(i.common * 10000.0 / (na.n_sh + nb.n_sh - i.common))::BIGINT AS j_bp
          FROM inter i JOIN n na ON i.a=na.doc_id JOIN n nb ON i.b=nb.doc_id
          WHERE floor(i.common * 10000.0 / (na.n_sh + nb.n_sh - i.common)) >= 5000""",
-    "q55_ann_ivf" ->
-      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-         q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5),
-         d AS (SELECT q.qid, v.vec_id, list_cosine_similarity(q.qe, v.e) AS c FROM v CROSS JOIN q),
-         r AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rk FROM d)
-         SELECT qid, vec_id, rk::INT AS rank FROM r WHERE rk <= 10""",
-    "q30_ann_brute" ->
-      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-         q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5),
-         d AS (SELECT q.qid, v.vec_id, list_cosine_similarity(q.qe, v.e) AS c FROM v CROSS JOIN q),
-         r AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rk FROM d)
-         SELECT qid, vec_id, rk::INT AS rank FROM r WHERE rk <= 10""",
+    "q55_ann_ivf" -> bruteTopKOracle,
+    "q30_ann_brute" -> bruteTopKOracle,
     // q31's oracle replicates the WHOLE LSH pipeline in SQL (inlined plane
     // constants, signatures, banding, dedup, exact rerank) — see OracleSql.q31
     "q31_ann_lsh" -> OracleSql.q31(graft.ann.Ann.hyperplanes(16, 64)),

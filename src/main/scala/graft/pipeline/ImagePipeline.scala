@@ -199,6 +199,18 @@ object ImagePipeline {
       .toDF("uid", "day", "c_lon_e6", "c_lat_e6", "n_pts")
   }
 
+  /** AOI-filtered codegen feature stream — the ONE definition of the
+    * BoundaryIndex + pipOrdinal + keep-inside prologue shared by every tile
+    * gate query (measure matrix, multi-zoom, centers, flagship run), so the
+    * PIP semantics cannot silently diverge between them. */
+  private def pipFiltered(spark: SparkSession, n: Long, parts: Int): DataFrame = {
+    import graft.functions.SeedExprs
+    val index = new BoundaryIndex(metroBoundaries.toArray)
+    fastFeatures(spark, n, parts)
+      .withColumn("b_ord", SeedExprs.pipOrdinal(col("lon"), col("lat"), index))
+      .filter(col("b_ord") >= 0)
+  }
+
   /** The reference's FULL tilePointSummaries measure matrix
     * (util/map-contribution-extractor.js:279-313; counters :21-62): per tile,
     * the four measures — highway-km (haversine over the feature's synthetic
@@ -218,10 +230,7 @@ object ImagePipeline {
     * list to `pivot(col, values)` and the discovery job disappears. */
   def tileMeasureMatrix(spark: SparkSession, n: Long, parts: Int = 16): DataFrame = {
     import graft.functions.SeedExprs
-    val index = new BoundaryIndex(metroBoundaries.toArray)
-    val f = fastFeatures(spark, n, parts)
-      .withColumn("b_ord", SeedExprs.pipOrdinal(col("lon"), col("lat"), index))
-      .filter(col("b_ord") >= 0)
+    val f = pipFiltered(spark, n, parts)
       .withColumn("noun_id", SeedExprs.metaNounId(col("idx")))
       .withColumn("dlon", SeedExprs.segDLon(col("idx")))
       .withColumn("dlat", SeedExprs.segDLat(col("idx")))
@@ -271,11 +280,7 @@ object ImagePipeline {
     * z-max, no re-encoding), then one rollup per (zoom, cell, team). */
   def multiZoomRollup(spark: SparkSession, n: Long, parts: Int = 16,
                       zooms: Seq[Int] = Seq(8, 10, 12)): DataFrame = {
-    import graft.functions.SeedExprs
-    val index = new BoundaryIndex(metroBoundaries.toArray)
-    val f = fastFeatures(spark, n, parts)
-      .withColumn("b_ord", SeedExprs.pipOrdinal(col("lon"), col("lat"), index))
-      .filter(col("b_ord") >= 0)
+    val f = pipFiltered(spark, n, parts)
       .withColumn("team", element_at(lit(teamNames.toArray), col("team_id") + 1))
     graft.spatial.TileAssign.withTileMultiZoom(f, "lon", "lat", zooms)
       .groupBy(col("zoom"), col("cell_id"), col("team"))
@@ -289,18 +294,12 @@ object ImagePipeline {
     * fixed-point. */
   def tileCenters(spark: SparkSession, n: Long, parts: Int = 16): DataFrame = {
     import spark.implicits._
-    import graft.functions.SeedExprs
-    val index = new BoundaryIndex(metroBoundaries.toArray)
-    fastFeatures(spark, n, parts)
-      .withColumn("b_ord", SeedExprs.pipOrdinal(col("lon"), col("lat"), index))
-      .filter(col("b_ord") >= 0)
+    pipFiltered(spark, n, parts)
       .groupBy(col("tile")).agg(count(lit(1)).as("n_feats"))
       .as[(Long, Long)]
       .mapPartitions(_.map { case (t, nf) =>
-        val z = (t >>> 58).toInt
-        val x = ((t >>> 29) & ((1L << 29) - 1)).toInt
-        val y = (t & ((1L << 29) - 1)).toInt
-        val (clon, clat) = Quadkey.tileCenter(x, y, z)
+        val (clon, clat) =
+          Quadkey.tileCenter(Quadkey.cellX(t), Quadkey.cellY(t), Quadkey.cellZ(t))
         (t, nf, math.floor(clon * 1e6 + 0.5).toLong, math.floor(clat * 1e6 + 0.5).toLong)
       })
       .toDF("tile", "n_feats", "c_lon_e6", "c_lat_e6")
@@ -332,12 +331,8 @@ object ImagePipeline {
   /** Codegen PIP join + per-tile per-team pivot — semantically identical to
     * `tileTeamPivot(pipJoin(features(...)))` (asserted in PipelineSpec). */
   def run(spark: SparkSession, n: Long, parts: Int = 32): DataFrame = {
-    import graft.functions.SeedExprs
-    val index = new BoundaryIndex(metroBoundaries.toArray)
-    val names = index.boundaries.map(_.id) // ordinal = position in the index array
-    val joined = fastFeatures(spark, n, parts)
-      .withColumn("b_ord", SeedExprs.pipOrdinal(col("lon"), col("lat"), index))
-      .filter(col("b_ord") >= 0)
+    val names = metroBoundaries.map(_.id).toArray // ordinal = position in the index array
+    val joined = pipFiltered(spark, n, parts)
     val agged = joined.groupBy(col("tile"), col("b_ord"))
       .agg(
         sum(when(col("team_id") === 0, 1L).otherwise(0L)).as("kll_e"),
