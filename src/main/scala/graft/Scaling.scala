@@ -87,15 +87,24 @@ object Scaling {
       cpus * (if (kind == "int") itersInt else itersTrig) / sec
     }
     spin("int"); spin("trig") // JIT warm-up
-    val (t0All, t0Steal) = cpuStat()
+    // per-section steal: the spin (calibration) section and the Spark
+    // (pipeline+validate) section get SEPARATE /proc/stat windows, so the
+    // reported steal_pct measures exactly the timed workload section that
+    // BENCH.md's window-screening rule uses it for (a single window opened
+    // before the spins blended the two sections)
+    val (s0All, s0Steal) = cpuStat()
     val spinInt = spin("int")
     val spinTrig = spin("trig")
+    val (t0All, t0Steal) = cpuStat()
     val tPipe = steadyMin("pipeline", 3)(ImagePipeline.run(spark, nFeat, cpus * 4).count())
     val tVal = steadyMin("validate", 3)(
       Validate.summary(ImagePipeline.synthTable(spark, nImg, cpus * 4).toDF()).count())
     val (t1All, t1Steal) = cpuStat()
-    val stealPct = if (t1All > t0All) 100.0 * (t1Steal - t0Steal) / (t1All - t0All) else 0.0
-    println(s"""{"cpus":$cpus,"pipeline_rps":${(nFeat / tPipe).round},"validate_rps":${(nImg / tVal).round},"steal_pct":${math.round(stealPct * 10) / 10.0},"spin_int_ips":${spinInt.round},"spin_trig_ips":${spinTrig.round}}""")
+    def pct(d0: (Long, Long), d1: (Long, Long)): Double =
+      if (d1._1 > d0._1) math.round(1000.0 * (d1._2 - d0._2) / (d1._1 - d0._1)) / 10.0 else 0.0
+    val stealPct = pct((t0All, t0Steal), (t1All, t1Steal))
+    val spinStealPct = pct((s0All, s0Steal), (t0All, t0Steal))
+    println(s"""{"cpus":$cpus,"pipeline_rps":${(nFeat / tPipe).round},"validate_rps":${(nImg / tVal).round},"steal_pct":$stealPct,"spin_steal_pct":$spinStealPct,"spin_int_ips":${spinInt.round},"spin_trig_ips":${spinTrig.round}}""")
     spark.stop()
   }
 }

@@ -179,12 +179,17 @@ object Ann {
     * near-dup clusters sit at cos ≥ ~0.9; random-hyperplane collision
     * probability per bit is 1 − θ/π ≈ 0.92 there, so a few bands catch every
     * true pair — AnnSparkSpec proves recall 1.0 on planted clusters with the
-    * candidate count asserted ≪ N²/2). Shape: band self-join emits candidate
-    * ID pairs only (no vectors in the exchange), vectors join back once, and
-    * the exact-cosine verify runs in a mapPartitions kernel over primitive
+    * candidate count asserted ≪ N²/2). Shape: band bucketing emits candidate
+    * ID pairs only (no vectors in the exchange) through the SAME hot-bucket
+    * bound as the minhash/simhash paths ([[graft.text.Dedup.boundedPairs]]:
+    * a band bucket of m near-identical vectors — exactly what this tier is
+    * FOR — otherwise self-joins into m²/2 candidates; above `maxBucket` it
+    * degrades to O(m) dual-hub star pairs), vectors join back once, and the
+    * exact-cosine verify runs in a mapPartitions kernel over primitive
     * arrays — cosine once per candidate, never in a join condition. */
   def cosineNearDupLshTier(vecs: DataFrame, minCos: Double,
-                           nBits: Int = 16, bands: Int = 8, dim: Int = 64): DataFrame = {
+                           nBits: Int = 16, bands: Int = 8, dim: Int = 64,
+                           maxBucket: Int = 64): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
     val planes = hyperplanes(nBits, dim)
@@ -195,11 +200,8 @@ object Ann {
     val banded = vecs.withColumn("sig", sigUdf(col("v")))
       .select(col("vec_id"), posexplode(array((0 until bands).map(b =>
         shiftright(col("sig"), b * bitsPerBand).bitwiseAND(lit(mask))): _*)))
-      .toDF("vec_id", "band", "vband")
-    val cand = banded.as("l").join(banded.as("r"),
-        col("l.band") === col("r.band") && col("l.vband") === col("r.vband") &&
-          col("l.vec_id") < col("r.vec_id"))
-      .select(col("l.vec_id").as("a"), col("r.vec_id").as("b")).distinct()
+      .toDF("doc_id", "band", "bucket")
+    val cand = graft.text.Dedup.boundedPairs(banded, maxBucket)
     // vectors join back exactly once per side; the verify kernel runs over
     // primitive arrays inside the partition
     val withVecs = cand
@@ -267,8 +269,14 @@ object Ann {
 
   /** Deterministic IVF centroids: seeded from the `nlist` lowest vec_ids,
     * refined with `iters` Lloyd steps (assignment in mapPartitions over the
-    * broadcast centroids; per-list mean via one aggregation per step —
-    * vectors are read, never shuffled: only (list, sumVec, n) partials move). */
+    * broadcast centroids; vectors are read, never shuffled: only the
+    * nlist·parts (list, partitionId, sumVec, n) partials move — straight to
+    * the driver, no shuffle stage at all). The cross-partition reduction is
+    * ORDER-PINNED: partials carry their partition ordinal and the driver sums
+    * them sorted by (list, partition), so the FP result — and hence list
+    * assignment and any nprobe<nlist answer — is identical run to run
+    * (a collect_list-based reduction was not: its element order is
+    * nondeterministic and double addition does not commute in FP). */
   def ivfCentroids(vecs: DataFrame, nlist: Int, iters: Int): Array[Array[Double]] = {
     val spark = vecs.sparkSession
     import spark.implicits._
@@ -278,6 +286,7 @@ object Ann {
     for (_ <- 0 until iters) {
       val bc = spark.sparkContext.broadcast(cents)
       val partials = vecs.as[(Long, Array[Double])].mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
         val cs = bc.value
         val sums = Array.fill(cs.length)(new Array[Double](cs.head.length))
         val counts = new Array[Long](cs.length)
@@ -294,19 +303,19 @@ object Ann {
           counts(best) += 1
         }
         sums.iterator.zipWithIndex.collect {
-          case (s, ci) if counts(ci) > 0 => (ci, s, counts(ci))
+          case (s, ci) if counts(ci) > 0 => (ci, pid, s, counts(ci))
         }
-      }.toDF("ci", "s", "n")
-        .groupBy(col("ci"))
-        .agg(aggregate(collect_list(col("s")), array_repeat(lit(0.0), dim),
-          (acc, x) => zip_with(acc, x, _ + _)).as("sum"),
-          sum(col("n")).as("n"))
-        .collect()
+      }.collect()
       val next = cents.map(_.clone())
-      partials.foreach { r =>
-        val ci = r.getInt(0)
-        val s = r.getSeq[Double](1); val n = r.getLong(2).toDouble
-        next(ci) = s.map(_ / n).toArray
+      partials.groupBy(_._1).foreach { case (ci, ps) =>
+        val acc = new Array[Double](dim)
+        var n = 0L
+        ps.sortBy(_._2).foreach { case (_, _, s, c) =>
+          var i = 0
+          while (i < dim) { acc(i) += s(i); i += 1 }
+          n += c
+        }
+        next(ci) = acc.map(_ / n)
       }
       cents = next
     }

@@ -59,7 +59,11 @@ object CoreQueries {
     * without orders, via one build of the orders key set. */
   def semiAnti(spark: SparkSession, dir: String): DataFrame = {
     val c = table(spark, dir, "customer")
+    // the distinct key build is consumed by BOTH the semi and the anti join;
+    // materialize it once (same multi-consumer re-execution class as the q45
+    // pre-rollup — without this Catalyst scans+distincts orders twice)
     val o = table(spark, dir, "orders").select(col("o_custkey")).distinct()
+      .localCheckpoint()
     val withO = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
       .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_with_orders"))
     val without = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")

@@ -257,7 +257,12 @@ object ImagePipeline {
       sum("e").as("total_features"), sum("km_e6").as("total_km_e6"),
       sum("b").as("total_b"), sum("p").as("total_p"))
     val rost = pre.filter(col("rostered"))
-    val teamCols = rost.groupBy(col("tile")).pivot("team")
+    // pivot with the EXPLICIT team list: the output schema is data-independent
+    // (a corpus where some team has zero rostered rows still emits that team's
+    // columns, zero-filled below, matching the oracle's fixed four-team shape)
+    // and the values-discovery job disappears — the scale form the scaladoc
+    // prescribes. The discovery-pivot variant stays gated via q38.
+    val teamCols = rost.groupBy(col("tile")).pivot("team", teamNames)
       .agg(sum("e").as("e"), sum("km_e6").as("km_e6"),
         sum("b").as("b"), sum("p").as("p"))
     val teamSums = rost.groupBy(col("tile")).agg(

@@ -35,13 +35,13 @@ object EventStream {
     * the watermark is dropped deterministically (asserted in StreamingSpec). */
   def tileRollupStream(feats: DataFrame, tsCol: String = "ts",
                        lonCol: String = "lon", latCol: String = "lat",
-                       z: Int = 12): DataFrame =
+                       z: Int = 12, userCol: String = "user_id"): DataFrame =
     feats
       .withColumn("tile", graft.index.Quadkey.cellIdCol(col(lonCol), col(latCol), z))
       .withWatermark(tsCol, "1 day")
       .groupBy(window(col(tsCol), "1 day").as("day"), col("tile"))
       .agg(count(lit(1)).as("n_edits"),
-        approx_count_distinct(col("user_id")).as("n_users_approx"))
+        approx_count_distinct(col(userCol)).as("n_users_approx"))
       .select(col("day.start").as("day_start"), col("tile"), col("n_edits"),
         col("n_users_approx"))
 

@@ -160,34 +160,52 @@ object Dedup {
       .select(col("a"), col("b"), col("common"), col("j_bp"))
   }
 
-  /** LSH band-bucket candidate pairs with a hot-bucket bound. A band-bucket
-    * of m near-identical documents makes the naive self-join emit m²/2
-    * candidates — the quadratic blow-up a boilerplate-heavy (or adversarial)
-    * corpus hits at scale, the same failure class ngramJaccard's df-cap fixed.
-    * Buckets with ≤ `maxBucket` members keep exact pairwise generation;
-    * larger buckets fall back to STAR pairs around the bucket's min doc_id —
-    * O(m) pairs that preserve dup-GROUP connectivity (every member links to
-    * the hub, so connected-components grouping is unchanged) while the
-    * within-bucket pair LIST becomes hub-centric. The bucket-size agg and the
-    * candidate join shuffle on the same (band, bucket) key. */
+  /** LSH band-bucket candidate pairs with a hot-bucket bound: band the
+    * signatures, then delegate to [[boundedPairs]]. The bucket-size agg and
+    * the candidate join shuffle on the same (band, bucket) key. */
   def minhashCandidates(signed: DataFrame, bands: Int, rowsPerBand: Int,
                         maxBucket: Int): DataFrame = {
     val banded = signed.select(col("doc_id"), posexplode(
       array((0 until bands).map(b =>
         hash((rowsPerBand * b until rowsPerBand * (b + 1)).map(i => col("sig")(i)): _*)): _*)))
       .toDF("doc_id", "band", "bucket")
+    boundedPairs(banded, maxBucket)
+  }
+
+  /** Candidate ID pairs (a < b) from a `(doc_id, band, bucket)` banding with
+    * a hot-bucket bound. A bucket of m near-identical members makes the naive
+    * self-join emit m²/2 candidates — the quadratic blow-up a boilerplate-
+    * heavy (or adversarial) corpus hits at scale, the same failure class
+    * ngramJaccard's df-cap fixed. Buckets with ≤ `maxBucket` members keep
+    * exact pairwise generation; larger buckets fall back to TWO star layers —
+    * around the bucket's min and the bucket's max doc_id — O(m) pairs total.
+    *
+    * Honesty note on the capped path: the stars preserve dup-GROUP
+    * connectivity when the bucket's members are mutually near-identical
+    * (every member links to both hubs). Downstream exact verification
+    * (Jaccard / hamming / cosine thresholds) can still reject a hub-member
+    * edge that some member-member edge would have passed, so capping trades
+    * pair-list completeness for boundedness; the two INDEPENDENT hubs exist
+    * precisely so one failed hub edge cannot by itself sever a genuine dup
+    * group. Shared by minhash bands, simhash segments (shape-specialized
+    * there for the fingerprint columns) and the ANN cosine LSH tier. */
+  def boundedPairs(banded: DataFrame, maxBucket: Int): DataFrame = {
     val sized = banded.join(
       banded.groupBy(col("band"), col("bucket"))
-        .agg(count(lit(1)).as("bn"), min(col("doc_id")).as("hub")),
+        .agg(count(lit(1)).as("bn"),
+          min(col("doc_id")).as("hub_lo"), max(col("doc_id")).as("hub_hi")),
       Seq("band", "bucket"))
     val small = sized.filter(col("bn") <= maxBucket)
     val pairwise = small.as("l").join(small.as("r"),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
-    val star = sized.filter(col("bn") > maxBucket && col("doc_id") =!= col("hub"))
-      .select(col("hub").as("a"), col("doc_id").as("b"))
-    pairwise.unionByName(star).distinct()
+    val hot = sized.filter(col("bn") > maxBucket)
+    val starLo = hot.filter(col("doc_id") =!= col("hub_lo"))
+      .select(col("hub_lo").as("a"), col("doc_id").as("b"))
+    val starHi = hot.filter(col("doc_id") =!= col("hub_hi"))
+      .select(col("doc_id").as("a"), col("hub_hi").as("b"))
+    pairwise.unionByName(starLo).unionByName(starHi).distinct()
   }
 
   /** SimHash (64-bit) near-dup: per-token hash bit voting → fingerprint;
@@ -226,8 +244,11 @@ object Dedup {
   }
 
   /** Pigeonhole candidate join over a (doc_id, sh) fingerprint table, with
-    * the same hot-bucket star bound as [[minhashCandidates]] (a segment
-    * shared by m near-identical fingerprints otherwise emits m²/2 pairs). */
+    * the same hot-bucket dual-star bound as [[boundedPairs]] (a segment
+    * shared by m near-identical fingerprints otherwise emits m²/2 pairs) —
+    * shape-specialized here because the fingerprints must ride along for the
+    * hamming verify. The same completeness caveat applies: a star pair the
+    * ham≤k check rejects is not retried through a member-member edge. */
   def simhashCandidatePairs(df: DataFrame, maxHam: Int, maxBucket: Int): DataFrame = {
     // pigeonhole: with 4 disjoint 16-bit segments, two fingerprints within
     // hamming distance 3 MUST agree on at least one whole segment (3 differing
@@ -243,8 +264,9 @@ object Dedup {
       .toDF("doc_id", "sh", "seg_idx", "seg")
     val sized = segs.join(
       segs.groupBy(col("seg_idx"), col("seg"))
-        .agg(count(lit(1)).as("bn"), min(col("doc_id")).as("hub"),
-          min_by(col("sh"), col("doc_id")).as("hub_sh")),
+        .agg(count(lit(1)).as("bn"),
+          min(col("doc_id")).as("hub_lo"), min_by(col("sh"), col("doc_id")).as("hub_lo_sh"),
+          max(col("doc_id")).as("hub_hi"), max_by(col("sh"), col("doc_id")).as("hub_hi_sh")),
       Seq("seg_idx", "seg"))
     val small = sized.filter(col("bn") <= maxBucket)
     val pairwise = small.as("l").join(small.as("r"),
@@ -252,10 +274,14 @@ object Dedup {
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
         col("l.sh").as("sha"), col("r.sh").as("shb"))
-    val star = sized.filter(col("bn") > maxBucket && col("doc_id") =!= col("hub"))
-      .select(col("hub").as("a"), col("doc_id").as("b"),
-        col("hub_sh").as("sha"), col("sh").as("shb"))
-    val cand = pairwise.unionByName(star).distinct()
+    val hot = sized.filter(col("bn") > maxBucket)
+    val starLo = hot.filter(col("doc_id") =!= col("hub_lo"))
+      .select(col("hub_lo").as("a"), col("doc_id").as("b"),
+        col("hub_lo_sh").as("sha"), col("sh").as("shb"))
+    val starHi = hot.filter(col("doc_id") =!= col("hub_hi"))
+      .select(col("doc_id").as("a"), col("hub_hi").as("b"),
+        col("sh").as("sha"), col("hub_hi_sh").as("shb"))
+    val cand = pairwise.unionByName(starLo).unionByName(starHi).distinct()
     cand.withColumn("ham", bit_count(col("sha").bitwiseXOR(col("shb"))))
       .filter(col("ham") <= maxHam)
       .select(col("a"), col("b"), col("ham"))

@@ -246,7 +246,10 @@ class AnnSparkSpec extends AnyFunSuite {
         Seq((i * 2L, b0), (i * 2L + 1, b0.map(c => c + r.double(-0.01, 0.01))))
       }.toSeq ++ (0 until 400).map(i => (1000L + i, Array.fill(dim)(r.double(-1, 1))))
     val vecs = rows.toDF("vec_id", "v")
-    val got = Ann.cosineNearDupLshTier(vecs, minCos = 0.95, dim = dim)
+    // uncapped: exact-recall is a property of the band geometry; the capped
+    // production path is adversarially bounded in DedupHotBucketSpec
+    val got = Ann.cosineNearDupLshTier(vecs, minCos = 0.95, dim = dim,
+        maxBucket = Int.MaxValue)
       .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
     // exact truth from plain loops
     val want = (for {
@@ -344,13 +347,15 @@ class DedupHotBucketSpec extends AnyFunSuite {
     }.toDF("doc_id", "sig", "shs")
   }
 
-  test("minhash: 1k identical docs emit star candidates, not 499,500 pairs") {
+  test("minhash: 1k identical docs emit dual-hub star candidates, not 499,500 pairs") {
     val docs = (0L until 1000L).map(i => i -> "the exact same boilerplate text repeated across the corpus again and again")
     val cand = Dedup.minhashCandidates(signedDf(docs), bands = 8, rowsPerBand = 4, maxBucket = 64)
     val rows = cand.collect()
-    // every band has the same single hot bucket -> distinct star pairs (0, i)
-    assert(rows.length == 999, s"expected 999 star candidates, got ${rows.length}")
-    assert(rows.forall(_.getLong(0) == 0L))
+    // every band has the same single hot bucket -> distinct star pairs around
+    // BOTH hubs: (0, i) for i in 1..999 plus (i, 999) for i in 0..998,
+    // overlapping on (0, 999) -> 2m-3 = 1997
+    assert(rows.length == 1997, s"expected 1997 dual-star candidates, got ${rows.length}")
+    assert(rows.forall(r => r.getLong(0) == 0L || r.getLong(1) == 999L))
   }
 
   test("minhash: cap inactive on a benign corpus -> identical candidates") {
@@ -367,11 +372,24 @@ class DedupHotBucketSpec extends AnyFunSuite {
     assert(capped == uncapped)
   }
 
-  test("simhash: 1k identical fingerprints -> 999 star pairs at ham 0") {
+  test("simhash: 1k identical fingerprints -> 1997 dual-star pairs at ham 0") {
     import spark.implicits._
     val df = (0L until 1000L).map(i => (i, 0x0123456789ABCDEFL)).toDF("doc_id", "sh")
     val rows = Dedup.simhashCandidatePairs(df, maxHam = 3, maxBucket = 64).collect()
-    assert(rows.length == 999, s"expected 999, got ${rows.length}")
-    assert(rows.forall(r => r.getLong(0) == 0L && r.getInt(2) == 0))
+    assert(rows.length == 1997, s"expected 1997, got ${rows.length}")
+    assert(rows.forall(r => (r.getLong(0) == 0L || r.getLong(1) == 999L) && r.getInt(2) == 0))
+  }
+
+  test("ANN LSH tier: 1k identical vectors emit bounded dual-star pairs, all verified") {
+    import spark.implicits._
+    import graft.ann.Ann
+    val v0 = Array.tabulate(16)(i => math.sin(i + 1.0))
+    val vecs = (0L until 1000L).map(i => (i, v0.clone())).toDF("vec_id", "v")
+    // every band has one 1000-member bucket; with the default cap the
+    // candidate set is the 2m-3 dual-hub stars — and since every vector is
+    // identical, cosine verify keeps them all (1997 rows, not 499,500)
+    val rows = Ann.cosineNearDupLshTier(vecs, minCos = 0.95, dim = 16).collect()
+    assert(rows.length == 1997, s"expected 1997, got ${rows.length}")
+    assert(rows.forall(r => (r.getLong(0) == 0L || r.getLong(1) == 999L) && r.getLong(2) == 10000L))
   }
 }
