@@ -47,6 +47,16 @@ public final class Statics {
     return graft.synth.ImageSynth$.MODULE$.nounIdOf(seedOf(i));
   }
 
+  /** Changeset id draw — metaOf._4: mix(seed^29) % 100000. */
+  public static long metaCs(long i) {
+    return (Long) graft.synth.ImageSynth$.MODULE$.metaOf(seedOf(i))._4();
+  }
+
+  /** Version draw — metaOf._5: 1 + mix(seed^31) % 9. */
+  public static long metaVer(long i) {
+    return (Integer) graft.synth.ImageSynth$.MODULE$.metaOf(seedOf(i))._5();
+  }
+
   public static double segDLon(long i) {
     return graft.synth.ImageSynth$.MODULE$.segDLon(seedOf(i));
   }

@@ -200,13 +200,15 @@ object OracleSql {
     (out, s"xor(${out}_z3, ${out}_z3 >> 31)"))
 
   /** CTE chain deriving the synthetic image table's geotag/meta hash values
-    * (seed + the 7 mix(seed^c) draws) for idx ∈ [0, n) — the DuckDB mirror of
+    * (seed + the mix(seed^c) draws) for idx ∈ [0, n) — the DuckDB mirror of
     * graft.synth.{ImageSynth, Geotag}. Ends in a relation named `st3` with
-    * columns idx, seed, sel, hdx, hdy, hlon, hlat, huid, hteam. */
-  private def geotagCtes(n: Long): String = {
+    * columns idx, seed, sel, hdx, hdy, hlon, hlat, huid, hteam (+ any
+    * `extra` draws a specific oracle needs, so queries that don't use them
+    * don't pay for them). */
+  private def geotagCtes(n: Long, extra: Seq[(String, Int)] = Nil): String = {
     val hashes = Seq(("sel", 41), ("hdx", 43), ("hdy", 47), ("hlon", 53),
       ("hlat", 59), ("huid", 17), ("hteam", 19),
-      ("hnoun", 13), ("hsdx", 61), ("hsdy", 67), ("hday", 23))
+      ("hnoun", 13), ("hsdx", 61), ("hsdy", 67), ("hday", 23)) ++ extra
     val ctes = scala.collection.mutable.ArrayBuffer(
       s"i AS (SELECT unnest(range(0, $n)) AS idx)")
     var prev = "i"
@@ -224,12 +226,19 @@ object OracleSql {
     ctes.mkString(",\n")
   }
 
-  /** Geotag/meta/tile/PIP derivation CTEs shared by q32/q38 — mirrors
-    * Geotag.of + ImageSynth.metaOf + Quadkey z12 + the metro-box PIP with the
-    * identical double-arithmetic operation order. Ends in `pj` with columns
-    * (idx, uid, team, lon, lat, tile, boundary_id). */
-  private def pipelineCtes(n: Long): String =
-    s"""${geotagCtes(n)},
+  /** Geotag/meta/tile/PIP derivation CTEs shared by q32/q38/q45/q46/q49/q56
+    * and the round-4 layers — mirrors Geotag.of + ImageSynth.metaOf + Quadkey
+    * z12 + the metro-box PIP with the identical double-arithmetic operation
+    * order. Ends in `pj` with columns (idx, uid, team, lon, lat, tile,
+    * boundary_id). Oracles needing additional seed draws pass them via
+    * `extraHashes` (name → xor constant) with the derived columns in
+    * `extraG` (expressions over the hash columns) — carried through pt by
+    * name. */
+  private def pipelineCtes(n: Long, extraHashes: Seq[(String, Int)] = Nil,
+                           extraG: Seq[(String, String)] = Nil): String = {
+    val gX = extraG.map { case (name, e) => s"  $e AS $name," }.mkString("\n")
+    val ptX = extraG.map { case (name, _) => s"$name, " }.mkString
+    s"""${geotagCtes(n, extraHashes)},
        |g AS (SELECT idx,
        |  ((sel & 2147483647) % 10 < 7) AS is_metro,
        |  ((sel >> 33) % 3)::INT AS midx,
@@ -239,6 +248,7 @@ object OracleSql {
        |  ['kll','msf','dcx','hot'][((hteam & 2147483647) % 4)::INT + 1] AS team,
        |  ((hnoun & 2147483647) % 6)::INT AS noun_id,
        |  CAST(hsdx & 1048575 AS DOUBLE) AS sdxv, CAST(hsdy & 1048575 AS DOUBLE) AS sdyv,
+       |$gX
        |  (18000 + (hday & 2147483647) % 365)::BIGINT AS day
        |FROM st3),
        |m AS (SELECT *,
@@ -246,7 +256,7 @@ object OracleSql {
        |  CASE midx WHEN 0 THEN 37.77 WHEN 1 THEN 48.86 ELSE -6.21 END AS mlat,
        |  CASE midx WHEN 0 THEN 0.35 WHEN 1 THEN 0.25 ELSE 0.45 END AS spread
        |FROM g),
-       |pt AS (SELECT idx, uid, team, noun_id, day,
+       |pt AS (SELECT idx, uid, team, noun_id, day, $ptX
        |  (sdxv / 1048575.0 - 0.5) * 0.02 AS sdlon,
        |  (sdyv / 1048575.0 - 0.5) * 0.02 AS sdlat,
        |  CASE WHEN is_metro THEN mlon + ((dxv / 1048575.0 - 0.5) * 2) * spread
@@ -267,6 +277,7 @@ object OracleSql {
        |       WHEN lon > -10.0 AND lon < -9.0 AND lat > -89.9 AND lat < -89.0 THEN 'nowhere'
        |       ELSE NULL END AS boundary_id
        |FROM tl)""".stripMargin
+  }
 
   /** Full replica oracle for q32 (codegen pipeline: geotag → z12 tile → PIP →
     * per-tile per-team pivot) — splitmix64 + web-mercator + PIP recomputed
@@ -288,11 +299,16 @@ object OracleSql {
     * (x/180)*pi, left-assoc products, least(1,sqrt), e6 fixed-point per
     * segment before summing), tile totals over all features, per-team +
     * team_sum measures over rostered (uid%5≠0) rows. */
-  def q45(n: Long): String = {
-    // haversineKmCol(lat, lon, lat+sdlat, lon+sdlon) term-for-term
+  /** haversineKmCol(lat, lon, lat+sdlat, lon+sdlon) term-for-term — shared by
+    * every oracle that reproduces the synthetic track-segment km measure. */
+  private val segKm: String = {
     val sLat = "sin(((((lat + sdlat) - lat)/180.0)*pi())/2)"
     val sLon = "sin(((((lon + sdlon) - lon)/180.0)*pi())/2)"
-    val km = s"2*6371.0088*asin(least(1.0, sqrt($sLat*$sLat + cos((lat/180.0)*pi())*cos(((lat + sdlat)/180.0)*pi())*$sLon*$sLon)))"
+    s"2*6371.0088*asin(least(1.0, sqrt($sLat*$sLat + cos((lat/180.0)*pi())*cos(((lat + sdlat)/180.0)*pi())*$sLon*$sLon)))"
+  }
+
+  def q45(n: Long): String = {
+    val km = segKm
     val teams = Seq("kll", "msf", "dcx", "hot")
     val teamCols = teams.map { t =>
       s"""  sum(CASE WHEN rostered AND team='$t' THEN 1 ELSE 0 END)::BIGINT AS ${t}_e,
@@ -371,6 +387,76 @@ object OracleSql {
        |  floor(((tx / 4096.0 * 360.0 - 180.0) + ((tx + 1) / 4096.0 * 360.0 - 180.0)) / 2.0 * 1000000.0 + 0.5)::BIGINT AS c_lon_e6,
        |  floor((${latOf("ty + 1.0")} + ${latOf("ty::DOUBLE")}) / 2.0 * 1000000.0 + 0.5)::BIGINT AS c_lat_e6
        |FROM g2""".stripMargin
+  }
+
+  /** Replica oracle for q60 (teamDailyPointSummaries — the reference's
+    * per-team per-day centroid+measures layer, map-contribution-extractor.js:
+    * 241-275: turf.centerOfMass over each team's daily features with the
+    * e/b/km/p measures per day): per (team, day), the e6-prerounded centroid
+    * (exact integer sums, one correctly-rounded division — the q46 FP
+    * discipline) plus edit/building/POI counts and the per-segment-rounded km
+    * sum (the q45 measure discipline). */
+  def q60(n: Long): String =
+    s"""WITH ${pipelineCtes(n)},
+       |f AS (SELECT team, day,
+       |  floor(lon * 1000000.0 + 0.5) AS lon_e6, floor(lat * 1000000.0 + 0.5) AS lat_e6,
+       |  CASE WHEN noun_id = 1 THEN floor($segKm * 1000000.0 + 0.5)::BIGINT ELSE 0 END AS km_e6,
+       |  CASE WHEN noun_id = 0 THEN 1 ELSE 0 END AS is_b,
+       |  CASE WHEN noun_id IN (3, 4) THEN 1 ELSE 0 END AS is_p
+       |FROM pj WHERE boundary_id IS NOT NULL)
+       |SELECT team, day, count(*)::BIGINT AS e,
+       |  sum(km_e6)::BIGINT AS km_e6, sum(is_b)::BIGINT AS b, sum(is_p)::BIGINT AS p,
+       |  floor(sum(lon_e6) / count(*) + 0.5)::BIGINT AS c_lon_e6,
+       |  floor(sum(lat_e6) / count(*) + 0.5)::BIGINT AS c_lat_e6
+       |FROM f GROUP BY 1, 2""".stripMargin
+
+  /** Replica oracle for q61 (the `objects` layer as per-feature emission,
+    * map-contribution-extractor.js:164-192): ONE ROW PER FEATURE with the
+    * short-key property projection (u,h,c,t,v,m,n,r — uid, handle,
+    * changeset, timestamp-day, version, team, noun class, region) and the
+    * e6 geometry. The changeset/version draws mirror ImageSynth.metaOf
+    * (mix(seed^29) % 100000, 1 + mix(seed^31) % 9). The engine side must
+    * round-trip every row through the REAL geojsonseq sink (emit → from_json
+    * parse-back), so a hash match proves the emission, the short-key
+    * projection, and the shortest-roundtrip numeric formatting row for row. */
+  def q61(n: Long): String =
+    s"""WITH ${pipelineCtes(n,
+         Seq(("hcs", 29), ("hver", 31)),
+         Seq(("cs", "((hcs & 2147483647) % 100000)::BIGINT"),
+             ("ver", "(1 + (hver & 2147483647) % 9)::BIGINT")))}
+       |SELECT idx::BIGINT AS idx, uid AS u, 'user' || uid AS h, cs AS c,
+       |  day AS t, ver AS v, team AS m, noun_id::BIGINT AS n, boundary_id AS r,
+       |  floor(lon * 1000000.0 + 0.5)::BIGINT AS lon_e6,
+       |  floor(lat * 1000000.0 + 0.5)::BIGINT AS lat_e6
+       |FROM pj WHERE boundary_id IS NOT NULL""".stripMargin
+
+  /** Analytic oracle for q33 (pixel/caption/phash validation summary): the
+    * row total comes from the generator domain (range(0,n)) and the per-
+    * format split is re-derived from the seed arithmetic (fmt = png iff
+    * mix(seed^5) bit 0 is 0 — ImageSynth.rowOf), so the oracle now
+    * cross-checks the engine's observed decode verdicts per format against
+    * an independent derivation instead of pinning constants. The "all rows
+    * validate" expectation (n_pixels_ok = n etc.) is the gate's substance on
+    * the Spark side: DuckDB cannot decode images, so those columns assert
+    * the engine-side decode/re-render/compare found zero failures. */
+  def q33(n: Long): String = {
+    val stages = mixStageDefs("xor(seed, 5::UBIGINT)", "hfmt")
+    val seedStages = mixStageDefs(s"(${mulmod("idx::HUGEINT", 0x100000001B3L)} + 7) % $M64", "seed")
+    var prev = "i"
+    var cols = Seq("idx")
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      s"i AS (SELECT unnest(range(0, $n)) AS idx)")
+    (seedStages ++ stages).foreach { case (name, expr) =>
+      ctes += s"f_$name AS MATERIALIZED (SELECT ${cols.mkString(", ")}, $expr AS $name FROM $prev)"
+      prev = s"f_$name"; cols = cols :+ name
+    }
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT count(*)::BIGINT AS n_rows, count(*)::BIGINT AS n_pixels_ok,
+       |  count(*)::BIGINT AS n_captions_ok, count(*)::BIGINT AS n_phash_ok,
+       |  sum(CASE WHEN (hfmt & 1) = 0 THEN 1 ELSE 0 END)::BIGINT AS n_png_ok,
+       |  sum(CASE WHEN (hfmt & 1) = 1 THEN 1 ELSE 0 END)::BIGINT AS n_jpg_ok,
+       |  true AS jpg_psnr_above_40
+       |FROM $prev""".stripMargin
   }
 
   // ---- q31: full ANN-LSH replica oracle ------------------------------------

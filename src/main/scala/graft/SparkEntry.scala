@@ -63,6 +63,13 @@ object SparkEntry {
       Dedup.minhashLsh(s, d, maxBucket = Int.MaxValue)),
     "q28_simhash" -> ((s: SparkSession, d: String) =>
       Dedup.simhashPairs(s, d, maxBucket = Int.MaxValue)),
+    // the SAME pipelines through the PRODUCTION default caps: this corpus's
+    // buckets sit below them (measured max: minhash 5, simhash 437 at sf0.1),
+    // so capped must equal uncapped must equal the exact all-pairs oracle —
+    // proving under the hash gate that the cap path is a no-op on benign
+    // corpora, not just in the adversarial unit spec (round-3 verdict item)
+    "q58_minhash_capped" -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
+    "q59_simhash_capped" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     "q29_fingerprint" -> (TextOps.fingerprints _),
     // per-language exact quality percentiles (pretraining filter thresholds)
     "q51_quality_percentiles" -> (TextOps.qualityPercentiles _),
@@ -102,6 +109,14 @@ object SparkEntry {
     // per-tile inverse-mercator centers (X9, turf.center of the tile polygon)
     "q56_tile_centers" -> ((s: SparkSession, _: String) =>
       ImagePipeline.tileCenters(s, 2000L, 16)),
+    // teamDailyPointSummaries: the per-(team, day) centroid + e/b/km/p
+    // measures layer (extractor.js:241-275) — the last reference rollup layer
+    "q60_daily_point_summaries" -> ((s: SparkSession, _: String) =>
+      ImagePipeline.dailyPointSummaries(s, 2000L, 16)),
+    // objects layer as per-feature emission with the short-key projection,
+    // round-tripped through the REAL geojsonseq sink (extractor.js:164-192)
+    "q61_object_features" -> ((s: SparkSession, _: String) =>
+      ImagePipeline.objectFeatures(s, 2000L, 16)),
     // multi-zoom tile emission (zoom-band layers): bit-shift parent chain
     "q49_multizoom_rollup" -> ((s: SparkSession, _: String) =>
       ImagePipeline.multiZoomRollup(s, 2000L, 16)),
@@ -242,6 +257,33 @@ object SparkEntry {
 
   private val pts =
     s"SELECT event_id, event_type, user_id, value, value % 360.0 - 180.0 AS lon, (user_id % 181 - 90)::DOUBLE AS lat FROM events"
+
+  /** ALL-PAIRS exact Jaccard over string shingles — shared verbatim by q27
+    * (uncapped LSH pipeline) and q58 (the same pipeline under the production
+    * default caps), which must be the same relation on a benign corpus; one
+    * definition enforces that by construction. */
+  private val minhashAllPairsOracle =
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, len(toks)-1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+                FROM t WHERE len(toks) >= 3),
+         n AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY 1),
+         inter AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*)::BIGINT AS common
+                   FROM sh l JOIN sh r ON l.g=r.g AND l.doc_id < r.doc_id
+                   GROUP BY 1,2)
+         SELECT i.a, i.b, i.common,
+           floor(i.common * 10000.0 / (na.n_sh + nb.n_sh - i.common))::BIGINT AS j_bp
+         FROM inter i JOIN n na ON i.a=na.doc_id JOIN n nb ON i.b=nb.doc_id
+         WHERE floor(i.common * 10000.0 / (na.n_sh + nb.n_sh - i.common)) >= 5000"""
+
+  /** Full FNV/bit-vote simhash recomputation + all-pairs hamming — shared by
+    * q28 (uncapped) and q59 (default caps), same construction as above. */
+  private val simhashAllPairsOracle =
+    s"""WITH ${OracleSql.simhashCte},
+         p AS (SELECT l.doc_id AS a, r.doc_id AS b, bit_count(xor(l.sh, r.sh))::INT AS ham
+               FROM sim l JOIN sim r ON l.doc_id < r.doc_id)
+         SELECT a, b, ham FROM p WHERE ham <= 3"""
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg_pushdown" ->
@@ -501,22 +543,15 @@ object SparkEntry {
     // q27's oracle is ALL-PAIRS exact Jaccard (no LSH, no df cap): matching it
     // proves both the exact-verify stage AND that LSH recall is 1.0 at this
     // threshold on this corpus
-    "q27_minhash_lsh" ->
-      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
-         sh AS (SELECT DISTINCT doc_id,
-                  unnest(list_transform(range(1, len(toks)-1),
-                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
-                FROM t WHERE len(toks) >= 3),
-         n AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY 1),
-         inter AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*)::BIGINT AS common
-                   FROM sh l JOIN sh r ON l.g=r.g AND l.doc_id < r.doc_id
-                   GROUP BY 1,2)
-         SELECT i.a, i.b, i.common,
-           floor(i.common * 10000.0 / (na.n_sh + nb.n_sh - i.common))::BIGINT AS j_bp
-         FROM inter i JOIN n na ON i.a=na.doc_id JOIN n nb ON i.b=nb.doc_id
-         WHERE floor(i.common * 10000.0 / (na.n_sh + nb.n_sh - i.common)) >= 5000""",
+    "q27_minhash_lsh" -> minhashAllPairsOracle,
+    // the capped-path gates share the exact oracles by construction: on this
+    // corpus the default caps must not engage, so capped == uncapped == exact
+    "q58_minhash_capped" -> minhashAllPairsOracle,
+    "q59_simhash_capped" -> simhashAllPairsOracle,
     "q55_ann_ivf" -> bruteTopKOracle,
     "q30_ann_brute" -> bruteTopKOracle,
+    "q60_daily_point_summaries" -> OracleSql.q60(2000),
+    "q61_object_features" -> OracleSql.q61(2000),
     // q31's oracle replicates the WHOLE LSH pipeline in SQL (inlined plane
     // constants, signatures, banding, dedup, exact rerank) — see OracleSql.q31
     "q31_ann_lsh" -> OracleSql.q31(graft.ann.Ann.hyperplanes(16, 64)),
@@ -524,11 +559,7 @@ object SparkEntry {
     // sketch queries verified by a REAL oracle: OracleSql reproduces the
     // engine's from-scratch 64-bit hashing (FNV-1a, rotl, splitmix64) in
     // DuckDB via wrap-around 32-bit-half multiplication
-    "q28_simhash" ->
-      s"""WITH ${OracleSql.simhashCte},
-         p AS (SELECT l.doc_id AS a, r.doc_id AS b, bit_count(xor(l.sh, r.sh))::INT AS ham
-               FROM sim l JOIN sim r ON l.doc_id < r.doc_id)
-         SELECT a, b, ham FROM p WHERE ham <= 3""",
+    "q28_simhash" -> simhashAllPairsOracle,
     "q29_fingerprint" ->
       s"""WITH f AS (SELECT doc_id, ${OracleSql.fingerprint("text")} AS fp FROM documents)
          SELECT (fp % 64)::BIGINT AS fp_bucket, count(*)::BIGINT AS n FROM f GROUP BY 1""",
@@ -601,10 +632,10 @@ object SparkEntry {
          x AS (SELECT id, k, j FROM ev, range(1, 6) s(j)
                WHERE j <= k AND (id*13 + j*37)%10 = 3)
          SELECT 'k' || j AS key, count(*)::BIGINT AS n_rows FROM x GROUP BY 1""",
-    "q33_image_validate" ->
-      """SELECT 2000::BIGINT AS n_rows, 2000::BIGINT AS n_pixels_ok,
-         2000::BIGINT AS n_captions_ok, 2000::BIGINT AS n_phash_ok,
-         true AS jpg_psnr_above_40""",
+    // analytic (round-4): the row total comes from the generator domain and
+    // the per-format verdict split re-derives mix(seed^5) bit 0 in SQL —
+    // no more pinned constants (see OracleSql.q33)
+    "q33_image_validate" -> OracleSql.q33(2000),
     // q31_ann_lsh: LSH-bucketed ANN — candidates reranked exactly; see queries.
   )
 }

@@ -34,6 +34,8 @@ case class SeedScalar(child: Expression, fn: String, resultType: DataType)
       case "segDLon" => Statics.segDLon(i)
       case "segDLat" => Statics.segDLat(i)
       case "mixBp" => Statics.mixBp(i)
+      case "metaCs" => Statics.metaCs(i)
+      case "metaVer" => Statics.metaVer(i)
     }
   }
 
@@ -97,6 +99,8 @@ object SeedExprs {
   def segDLon(idx: Column): Column = co(SeedScalar(ex(idx), "segDLon", DoubleType))
   def segDLat(idx: Column): Column = co(SeedScalar(ex(idx), "segDLat", DoubleType))
   def mixBp(idx: Column): Column = co(SeedScalar(ex(idx), "mixBp", LongType))
+  def metaCs(idx: Column): Column = co(SeedScalar(ex(idx), "metaCs", LongType))
+  def metaVer(idx: Column): Column = co(SeedScalar(ex(idx), "metaVer", LongType))
   def hexCell(lat: Column, lon: Column, res: Int): Column =
     co(CellScalar(ex(lat), ex(lon), res, "hexCell"))
   def s2Cell(lat: Column, lon: Column, level: Int): Column =

@@ -277,6 +277,76 @@ object ImagePipeline {
       .foldLeft(joined)((df, c) => df.withColumn(c, coalesce(col(c), lit(0L))))
   }
 
+  /** teamDailyPointSummaries — the reference's per-(team, day) centroid +
+    * measures layer (util/map-contribution-extractor.js:241-275:
+    * `turf.centerOfMass` over each team's daily feature collection, with the
+    * e/b/km/p measure properties per day) — the last of the four reference
+    * rollup layers. FP discipline matches the sibling gates: coordinates
+    * pre-rounded to e6 longs (sums exact in any order, one correctly-rounded
+    * division — q46), km rounded per segment then summed as longs (q45).
+    * ONE shuffle on (team, day); partial aggregation absorbs the metro skew
+    * map-side exactly like the tile rollups. */
+  def dailyPointSummaries(spark: SparkSession, n: Long, parts: Int = 16): DataFrame = {
+    import graft.functions.SeedExprs
+    val f = pipFiltered(spark, n, parts)
+      .withColumn("noun_id", SeedExprs.metaNounId(col("idx")))
+      .withColumn("dlon", SeedExprs.segDLon(col("idx")))
+      .withColumn("dlat", SeedExprs.segDLat(col("idx")))
+      .withColumn("team", element_at(lit(teamNames.toArray), col("team_id") + 1))
+    val kmE6 = when(col("noun_id") === 1,
+      floor(graft.spatial.SpatialQueries.haversineKmCol(
+        col("lat"), col("lon"), col("lat") + col("dlat"), col("lon") + col("dlon"))
+        * lit(1e6) + lit(0.5)).cast("long")).otherwise(0L)
+    f.withColumn("km_e6", kmE6)
+      .withColumn("is_b", when(col("noun_id") === 0, 1L).otherwise(0L))
+      .withColumn("is_p", when(col("noun_id").isin(3, 4), 1L).otherwise(0L))
+      .withColumn("lon_e6", floor(col("lon") * lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("lat_e6", floor(col("lat") * lit(1e6) + lit(0.5)).cast("long"))
+      .groupBy(col("team"), col("day"))
+      .agg(count(lit(1)).as("e"), sum("km_e6").as("km_e6"),
+        sum("is_b").as("b"), sum("is_p").as("p"),
+        floor(sum(col("lon_e6")).cast("double") / count(lit(1)) + lit(0.5))
+          .cast("long").as("c_lon_e6"),
+        floor(sum(col("lat_e6")).cast("double") / count(lit(1)) + lit(0.5))
+          .cast("long").as("c_lat_e6"))
+  }
+
+  /** The `objects` layer as PER-FEATURE emission (map-contribution-extractor
+    * .js:164-192): one output feature per input feature carrying the
+    * reference's short-key property projection (u,h,c,t,v + team/noun/region
+    * — SURVEY F13), emitted through the REAL geojsonseq sink and parsed back
+    * with from_json, so the gate hashes the sink's actual output row for row
+    * (the q47 pattern, but per-feature instead of aggregated). Scale shape:
+    * pure map — no shuffle at all; the sink writes partition-local files. */
+  def objectFeatures(spark: SparkSession, n: Long, parts: Int = 16): DataFrame = {
+    import graft.functions.SeedExprs
+    val names = metroBoundaries.map(_.id).toArray
+    val f = pipFiltered(spark, n, parts)
+      .withColumn("team", element_at(lit(teamNames.toArray), col("team_id") + 1))
+      .withColumn("noun_id", SeedExprs.metaNounId(col("idx")))
+    val props = f.select(col("lon"), col("lat"), col("idx"),
+      col("uid").as("u"), concat(lit("user"), col("uid")).as("h"),
+      SeedExprs.metaCs(col("idx")).as("c"), col("day").as("t"),
+      SeedExprs.metaVer(col("idx")).as("v"), col("team").as("m"),
+      col("noun_id").cast("long").as("n"),
+      element_at(lit(names), col("b_ord") + 1).as("r"))
+    val lines = graft.geo.GeoJson.pointFeatures(props)
+    val ddl = "type STRING, properties STRUCT<idx: BIGINT, u: BIGINT, h: STRING, " +
+      "c: BIGINT, t: BIGINT, v: BIGINT, m: STRING, n: BIGINT, r: STRING>, " +
+      "geometry STRUCT<type: STRING, coordinates: ARRAY<DOUBLE>>"
+    lines.toDF("line")
+      .select(from_json(col("line"), ddl, java.util.Collections.emptyMap[String, String]()).as("f"))
+      .select(col("f.properties.idx").as("idx"), col("f.properties.u").as("u"),
+        col("f.properties.h").as("h"), col("f.properties.c").as("c"),
+        col("f.properties.t").as("t"), col("f.properties.v").as("v"),
+        col("f.properties.m").as("m"), col("f.properties.n").as("n"),
+        col("f.properties.r").as("r"),
+        floor(element_at(col("f.geometry.coordinates"), 1) * lit(1e6) + lit(0.5))
+          .cast("long").as("lon_e6"),
+        floor(element_at(col("f.geometry.coordinates"), 2) * lit(1e6) + lit(0.5))
+          .cast("long").as("lat_e6"))
+  }
+
   /** Multi-zoom rollup gate: the reference's summary layers span zoom bands
     * (objects z12-16, summaries z1-12, util/README.md:13-18 + the tippecanoe
     * minzoom/maxzoom envelopes in map-contribution-extractor.js:188-316);

@@ -113,14 +113,21 @@ object Validate {
       }
   }
 
-  /** Aggregate validation summary (the gate-facing shape). */
+  /** Aggregate validation summary (the gate-facing shape). The per-format
+    * verdict counts are what makes the oracle analytic: DuckDB re-derives the
+    * png/jpg split from the seed arithmetic (mix(seed^5) bit 0), so the
+    * engine's observed decode outcomes per format are cross-checked against
+    * an independent derivation instead of pinned constants. */
   def summary(rows: DataFrame): DataFrame =
     verdicts(rows).toDF().agg(
       count(lit(1)).as("n_rows"),
       sum(when(col("pixels_ok"), 1L).otherwise(0L)).as("n_pixels_ok"),
       sum(when(col("caption_ok"), 1L).otherwise(0L)).as("n_captions_ok"),
       sum(when(col("phash_ok"), 1L).otherwise(0L)).as("n_phash_ok"),
+      sum(when(col("fmt") === "png" && col("pixels_ok"), 1L).otherwise(0L)).as("n_png_ok"),
+      sum(when(col("fmt") === "jpg" && col("pixels_ok"), 1L).otherwise(0L)).as("n_jpg_ok"),
       min(when(col("fmt") === "jpg", col("psnr"))).as("min_jpg_psnr_raw"))
       .select(col("n_rows"), col("n_pixels_ok"), col("n_captions_ok"), col("n_phash_ok"),
+        col("n_png_ok"), col("n_jpg_ok"),
         (col("min_jpg_psnr_raw") >= JpgPsnrFloor).as("jpg_psnr_above_40"))
 }

@@ -35,7 +35,11 @@ class PipelineSpec extends AnyFunSuite {
     assert(row.getLong(1) == 300, "pixel validation failed rows")
     assert(row.getLong(2) == 300, "caption mismatch rows")
     assert(row.getLong(3) == 300, "phash mismatch rows")
-    assert(row.getBoolean(4), "jpg psnr fell below 40 dB")
+    // per-format verdicts partition the rows (fmt split re-derived
+    // independently by the q33 oracle from mix(seed^5) bit 0)
+    assert(row.getLong(4) + row.getLong(5) == 300, "png_ok + jpg_ok must cover all rows")
+    assert(row.getLong(4) > 0 && row.getLong(5) > 0, "both formats must appear")
+    assert(row.getBoolean(6), "jpg psnr fell below 40 dB")
   }
 
   test("feature tile assignment matches the scalar encoder row-for-row") {
