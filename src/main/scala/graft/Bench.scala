@@ -46,6 +46,13 @@ object Bench {
     }.min
     val pipeRps = (nPipe / tPipe).round
 
+    // drain the pipeline phase's heap residue before the query phase: the 4
+    // full-size 200M-row pipeline reps leave the old gen populated, and the
+    // first alphabetical queries otherwise absorb the resulting GC pressure
+    // (round-3 bench showed q02-q04 ~2x their fresh-JVM warm times; RunOne
+    // reproduces 0.85-1.0 s vs the 1.7-2.6 s recorded in-bench)
+    System.gc()
+
     // a failed query is recorded as -1.0 (never a normal-looking duration) and
     // named in `errors`, so the bench JSON distinguishes failure from slowness.
     // Min-of-2 timed reps per query: the sf0.001 warm-up does not warm
