@@ -459,6 +459,47 @@ object OracleSql {
        |FROM $prev""".stripMargin
   }
 
+  /** Replica oracle for q62 (checkpoint lineage manifests): re-derives the
+    * per-row hex cell (graft.index.Hex.latLngToCell — axial projection + cube
+    * rounding, with the projection constants and edge length inlined from the
+    * Scala side via shortest-roundtrip formatting so both engines evaluate
+    * the same IEEE operation sequence on the same constants), the bucket
+    * assignment (mix(cell) % buckets — Checkpoint.bucketOf), and the
+    * per-bucket (cellMin, cellMax, rowCount) lineage; empty buckets emit the
+    * engine's sentinel (Long.MaxValue/MinValue, 0). Validation counters
+    * equal rowCount — the all-rows-validate expectation, DuckDB being unable
+    * to decode pixels (q33 semantics). */
+  def q62(n: Long, buckets: Int, hexRes: Int = 7): String = {
+    // inlined from Scala so pow/sqrt library differences cannot bite: the
+    // SQL parses the shortest-roundtrip decimal back to the identical double
+    val sz = graft.index.Hex.edgeDeg(hexRes).toString
+    val c1 = (math.sqrt(3.0) / 3.0).toString
+    val c2 = (1.0 / 3.0).toString
+    val c4 = (2.0 / 3.0).toString
+    val bias = 1L << 29
+    s"""WITH ${pipelineCtes(n)},
+       |hx0 AS (SELECT idx, ($c1 * lon - $c2 * lat) / $sz AS qf, ($c4 * lat) / $sz AS rf FROM pj),
+       |hx1 AS (SELECT idx, qf, rf, -qf - rf AS sf,
+       |        floor(qf + 0.5)::BIGINT AS q0, floor(rf + 0.5)::BIGINT AS r0 FROM hx0),
+       |hx2 AS (SELECT idx, q0, r0, floor(sf + 0.5)::BIGINT AS s0,
+       |        abs(q0 - qf) AS dq, abs(r0 - rf) AS dr, abs(floor(sf + 0.5) - sf) AS ds FROM hx1),
+       |hx AS (SELECT idx,
+       |       CASE WHEN dq > dr AND dq > ds THEN -r0 - s0 ELSE q0 END AS q,
+       |       CASE WHEN NOT (dq > dr AND dq > ds) AND dr > ds THEN -q0 - s0 ELSE r0 END AS r
+       |       FROM hx2),
+       |cell AS (SELECT idx, ($hexRes::BIGINT << 60) + ((q + $bias) << 30) + (r + $bias) AS cell FROM hx),
+       |bk AS (SELECT idx, cell, ((${mix("cell")} & 2147483647) % $buckets)::INT AS bucket FROM cell),
+       |agg AS (SELECT bucket, min(cell) AS cell_min, max(cell) AS cell_max,
+       |        count(*)::BIGINT AS row_count FROM bk GROUP BY 1)
+       |SELECT b.b::INT AS bucket,
+       |  coalesce(a.cell_min, 9223372036854775807)::BIGINT AS cell_min,
+       |  coalesce(a.cell_max, -9223372036854775808)::BIGINT AS cell_max,
+       |  coalesce(a.row_count, 0)::BIGINT AS row_count,
+       |  coalesce(a.row_count, 0)::BIGINT AS n_pixels_ok,
+       |  coalesce(a.row_count, 0)::BIGINT AS n_captions_ok
+       |FROM range(0, $buckets) b(b) LEFT JOIN agg a ON b.b = a.bucket""".stripMargin
+  }
+
   // ---- q31: full ANN-LSH replica oracle ------------------------------------
 
   /** Complete DuckDB replica of graft.ann.Ann.lshTopK: the deterministic

@@ -117,6 +117,11 @@ object SparkEntry {
     // round-tripped through the REAL geojsonseq sink (extractor.js:164-192)
     "q61_object_features" -> ((s: SparkSession, _: String) =>
       ImagePipeline.objectFeatures(s, 2000L, 16)),
+    // checkpoint lineage manifests (S9): a full checkpointed build into a
+    // fresh scratch dir, manifests emitted as rows and hash-verified against
+    // the analytic bucket/cell-range/row-count derivation
+    "q62_checkpoint_lineage" -> ((s: SparkSession, _: String) =>
+      graft.pipeline.Checkpoint.lineageGate(s, 800L, buckets = 8, parts = 8)),
     // multi-zoom tile emission (zoom-band layers): bit-shift parent chain
     "q49_multizoom_rollup" -> ((s: SparkSession, _: String) =>
       ImagePipeline.multiZoomRollup(s, 2000L, 16)),
@@ -552,6 +557,7 @@ object SparkEntry {
     "q30_ann_brute" -> bruteTopKOracle,
     "q60_daily_point_summaries" -> OracleSql.q60(2000),
     "q61_object_features" -> OracleSql.q61(2000),
+    "q62_checkpoint_lineage" -> OracleSql.q62(800, 8),
     // q31's oracle replicates the WHOLE LSH pipeline in SQL (inlined plane
     // constants, signatures, banding, dedup, exact rerank) — see OracleSql.q31
     "q31_ann_lsh" -> OracleSql.q31(graft.ann.Ann.hyperplanes(16, 64)),

@@ -62,6 +62,27 @@ object Checkpoint {
     Some(json)
   }
 
+  /** Gate shape for the checkpoint lineage manifests (S9, the north_rule's
+    * "resumable from per-partition checkpoints recording lineage"): run a
+    * FULL checkpointed build into a fresh scratch dir — synthesis, bucketed
+    * write, re-read, validation, manifest commit — then emit each bucket's
+    * manifest as a row. The DuckDB oracle re-derives the bucket assignment
+    * (geotag → hex cell → splitmix hash) and the per-bucket cellMin/cellMax/
+    * rowCount lineage analytically, with the hex-grid constants inlined from
+    * the Scala side for FP bit-parity; a hash match proves the committed
+    * manifests describe exactly the rows the partitioner should have routed.
+    * The pixel-derived phashDigest stays OUT of the gate row (DuckDB cannot
+    * re-render; it is spec-verified in CheckpointSpec), while the validation
+    * counters assert all written rows decoded clean per bucket. */
+  def lineageGate(spark: SparkSession, n: Long, buckets: Int = 8,
+                  parts: Int = 8): DataFrame = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_ckpt_gate").toString
+    val ms = run(spark, n, dir, buckets, parts)
+    ms.map(m => (m.bucket, m.cellMin, m.cellMax, m.rowCount, m.nPixelsOk, m.nCaptionsOk))
+      .toDF("bucket", "cell_min", "cell_max", "row_count", "n_pixels_ok", "n_captions_ok")
+  }
+
   /** Diagnostic: id-range rows scanned by the LAST run's synthesis pass —
     * the spec asserts the range is scanned ONCE regardless of bucket count
     * (the round-1 design re-filtered the full range once per bucket). */

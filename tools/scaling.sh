@@ -74,9 +74,14 @@ validation: {", ".join(f"{p[3]:.3f}" for p in pairs)}. Target: >= 0.8
 
 ## Host anchors — how to read variance on this machine
 
-| pair | pipeline raw | validate raw | int-spin anchor | trig-spin anchor | pipe/trig | val/int | steal% {n}/{4*n} |
-|---|---|---|---|---|---|---|---|
-{chr(10).join(f"| {i+1} | {p[2]:.3f} | {p[3]:.3f} | {p[4]:.3f} | {p[5]:.3f} | {p[2]/p[5]:.3f} | {p[3]/p[4]:.3f} | {p[0]['steal_pct']}/{p[1]['steal_pct']} |" for i, p in enumerate(pairs))}
+| pair | pipeline raw | validate raw | int-spin anchor | trig-spin anchor | pipe/trig | val/int | spark-steal% {n}/{4*n} | spin-steal% {n}/{4*n} |
+|---|---|---|---|---|---|---|---|---|
+{chr(10).join(f"| {i+1} | {p[2]:.3f} | {p[3]:.3f} | {p[4]:.3f} | {p[5]:.3f} | {p[2]/p[5]:.3f} | {p[3]/p[4]:.3f} | {p[0]['steal_pct']}/{p[1]['steal_pct']} | {p[0].get('spin_steal_pct','-')}/{p[1].get('spin_steal_pct','-')} |" for i, p in enumerate(pairs))}
+
+Steal is measured PER SECTION (round-4 protocol fix): `spark-steal%` covers
+exactly the timed pipeline+validate section — the contamination measure the
+window-screening rule uses — while `spin-steal%` covers the calibration
+spins, so a gust that hits only the anchors is visible as such.
 
 This sandbox is an oversubscribed VM whose {n}→{4*n}-core ceiling is
 instruction-mix dependent (plain Java threads, no Spark): the integer spin
