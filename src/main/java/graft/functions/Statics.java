@@ -47,14 +47,15 @@ public final class Statics {
     return graft.synth.ImageSynth$.MODULE$.nounIdOf(seedOf(i));
   }
 
-  /** Changeset id draw — metaOf._4: mix(seed^29) % 100000. */
+  /** Changeset id draw — metaOf._4 inlined (the Tuple5 path would box 5
+   *  fields and fetch the team string per row inside codegen). */
   public static long metaCs(long i) {
-    return (Long) graft.synth.ImageSynth$.MODULE$.metaOf(seedOf(i))._4();
+    return (graft.synth.ImageSynth$.MODULE$.mix(seedOf(i) ^ 29L) & 0x7FFFFFFFL) % 100000L;
   }
 
-  /** Version draw — metaOf._5: 1 + mix(seed^31) % 9. */
+  /** Version draw — metaOf._5 inlined, same reason. */
   public static long metaVer(long i) {
-    return (Integer) graft.synth.ImageSynth$.MODULE$.metaOf(seedOf(i))._5();
+    return 1L + (graft.synth.ImageSynth$.MODULE$.mix(seedOf(i) ^ 31L) & 0x7FFFFFFFL) % 9L;
   }
 
   public static double segDLon(long i) {

@@ -199,6 +199,12 @@ object OracleSql {
     (s"${out}_z3", mulmod(s"xor(${out}_z2, ${out}_z2 >> 27)::HUGEINT", 0x94D049BB133111EBL) + "::UBIGINT"),
     (out, s"xor(${out}_z3, ${out}_z3 >> 31)"))
 
+  /** The ONE SQL encoding of ImageSynth.seedOf (idx → seed) as staged CTE
+    * column defs — shared by geotagCtes and q33 so the seed recipe cannot
+    * silently diverge between oracles. */
+  private def seedStageDefs: Seq[(String, String)] =
+    mixStageDefs(s"(${mulmod("idx::HUGEINT", 0x100000001B3L)} + 7) % $M64", "seed")
+
   /** CTE chain deriving the synthetic image table's geotag/meta hash values
     * (seed + the mix(seed^c) draws) for idx ∈ [0, n) — the DuckDB mirror of
     * graft.synth.{ImageSynth, Geotag}. Ends in a relation named `st3` with
@@ -213,7 +219,7 @@ object OracleSql {
       s"i AS (SELECT unnest(range(0, $n)) AS idx)")
     var prev = "i"
     var cols = Seq("idx")
-    mixStageDefs(s"(${mulmod("idx::HUGEINT", 0x100000001B3L)} + 7) % $M64", "seed").foreach {
+    seedStageDefs.foreach {
       case (name, expr) =>
         ctes += s"s_$name AS MATERIALIZED (SELECT ${cols.mkString(", ")}, $expr AS $name FROM $prev)"
         prev = s"s_$name"; cols = cols :+ name
@@ -308,7 +314,6 @@ object OracleSql {
   }
 
   def q45(n: Long): String = {
-    val km = segKm
     val teams = Seq("kll", "msf", "dcx", "hot")
     val teamCols = teams.map { t =>
       s"""  sum(CASE WHEN rostered AND team='$t' THEN 1 ELSE 0 END)::BIGINT AS ${t}_e,
@@ -318,7 +323,7 @@ object OracleSql {
     }.mkString("\n")
     s"""WITH ${pipelineCtes(n)},
        |feat AS (SELECT tile, team, (uid % 5 <> 0) AS rostered,
-       |  CASE WHEN noun_id = 1 THEN floor($km * 1000000.0 + 0.5)::BIGINT ELSE 0 END AS km_e6,
+       |  CASE WHEN noun_id = 1 THEN floor($segKm * 1000000.0 + 0.5)::BIGINT ELSE 0 END AS km_e6,
        |  CASE WHEN noun_id = 0 THEN 1 ELSE 0 END AS is_b,
        |  CASE WHEN noun_id IN (3, 4) THEN 1 ELSE 0 END AS is_p
        |FROM pj WHERE boundary_id IS NOT NULL)
@@ -441,12 +446,11 @@ object OracleSql {
     * the engine-side decode/re-render/compare found zero failures. */
   def q33(n: Long): String = {
     val stages = mixStageDefs("xor(seed, 5::UBIGINT)", "hfmt")
-    val seedStages = mixStageDefs(s"(${mulmod("idx::HUGEINT", 0x100000001B3L)} + 7) % $M64", "seed")
     var prev = "i"
     var cols = Seq("idx")
     val ctes = scala.collection.mutable.ArrayBuffer(
       s"i AS (SELECT unnest(range(0, $n)) AS idx)")
-    (seedStages ++ stages).foreach { case (name, expr) =>
+    (seedStageDefs ++ stages).foreach { case (name, expr) =>
       ctes += s"f_$name AS MATERIALIZED (SELECT ${cols.mkString(", ")}, $expr AS $name FROM $prev)"
       prev = s"f_$name"; cols = cols :+ name
     }

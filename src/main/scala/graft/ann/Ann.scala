@@ -124,7 +124,7 @@ object Ann {
     *
     * At 10^12 rows exact all-pairs is inherently Θ(N²) work — there `blocks`
     * is sized so a block fits executor memory and this same kernel becomes
-    * the verification tier over [[lshCandidates]] buckets (when the
+    * the verification tier over [[cosineNearDupLshTier]] buckets (when the
     * threshold's angle gives LSH real recall; at θ=0.45 on this corpus the
     * qualifying pairs sit ON the threshold — measured min cos 0.4501 — so no
     * sketch prefilter has certifiable recall and the gate runs exact). */
@@ -175,20 +175,28 @@ object Ann {
   }
 
   /** LSH-bucketed near-dup tier — the scale path of [[cosineNearDupPairs]]
-    * for corpora where the threshold's angle gives LSH real recall (planted
-    * near-dup clusters sit at cos ≥ ~0.9; random-hyperplane collision
-    * probability per bit is 1 − θ/π ≈ 0.92 there, so a few bands catch every
-    * true pair — AnnSparkSpec proves recall 1.0 on planted clusters with the
-    * candidate count asserted ≪ N²/2). Shape: band bucketing emits candidate
-    * ID pairs only (no vectors in the exchange) through the SAME hot-bucket
-    * bound as the minhash/simhash paths ([[graft.text.Dedup.boundedPairs]]:
-    * a band bucket of m near-identical vectors — exactly what this tier is
-    * FOR — otherwise self-joins into m²/2 candidates; above `maxBucket` it
-    * degrades to O(m) dual-hub star pairs), vectors join back once, and the
-    * exact-cosine verify runs in a mapPartitions kernel over primitive
-    * arrays — cosine once per candidate, never in a join condition. */
+    * for corpora where the threshold's angle gives LSH real recall. Band
+    * geometry: 8 bands × 8 sign bits. Near-identical vectors (cos ≥ ~0.999,
+    * the planted-dup regime) agree per bit w.p. 1 − θ/π ≈ 0.99, so an 8-bit
+    * band collides w.p. ≈ 0.96 and missing all 8 bands is ~1e-12; while
+    * RANDOM pairs (p_bit = 0.5) collide per band w.p. 2⁻⁸, so benign buckets
+    * hold ~N/256 members per band and the hot-bucket cap engages only on
+    * genuine dup pileups — the same selectivity contract as minhash bands
+    * and simhash segments. (The round-3 geometry of 8 × 2-bit bands had only
+    * FOUR buckets per band: every bucket was hot on any corpus over ~256
+    * rows, so a finite default cap would have silently collapsed recall —
+    * caught in round-4 review; with 8-bit bands the cap + recall coexist and
+    * the planted-dup spec runs under PRODUCTION defaults.) Shape: band
+    * bucketing emits candidate ID pairs only (no vectors in the exchange)
+    * through the SAME hot-bucket bound as the minhash/simhash paths
+    * ([[graft.text.Dedup.boundedPairs]]: a band bucket of m near-identical
+    * vectors — exactly what this tier is FOR — otherwise self-joins into
+    * m²/2 candidates; above `maxBucket` it degrades to O(m) dual-hub star
+    * pairs), vectors join back once, and the exact-cosine verify runs in a
+    * mapPartitions kernel over primitive arrays — cosine once per candidate,
+    * never in a join condition. */
   def cosineNearDupLshTier(vecs: DataFrame, minCos: Double,
-                           nBits: Int = 16, bands: Int = 8, dim: Int = 64,
+                           nBits: Int = 64, bands: Int = 8, dim: Int = 64,
                            maxBucket: Int = 64): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._

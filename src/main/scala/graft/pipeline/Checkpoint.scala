@@ -77,8 +77,14 @@ object Checkpoint {
   def lineageGate(spark: SparkSession, n: Long, buckets: Int = 8,
                   parts: Int = 8): DataFrame = {
     import spark.implicits._
-    val dir = Files.createTempDirectory("graft_ckpt_gate").toString
-    val ms = run(spark, n, dir, buckets, parts)
+    val dir = Files.createTempDirectory("graft_ckpt_gate")
+    // the manifests are driver-side values once run() returns — the scratch
+    // build (parquet + commits) is deleted before the gate row-set is built,
+    // so repeated bench/gate invocations cannot accumulate tmp data
+    val ms = try run(spark, n, dir.toString, buckets, parts) finally {
+      import scala.jdk.CollectionConverters._
+      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
     ms.map(m => (m.bucket, m.cellMin, m.cellMax, m.rowCount, m.nPixelsOk, m.nCaptionsOk))
       .toDF("bucket", "cell_min", "cell_max", "row_count", "n_pixels_ok", "n_captions_ok")
   }

@@ -250,10 +250,10 @@ class AnnSparkSpec extends AnyFunSuite {
         Seq((i * 2L, b0), (i * 2L + 1, b0.map(c => c + r.double(-0.01, 0.01))))
       }.toSeq ++ (0 until 400).map(i => (1000L + i, Array.fill(dim)(r.double(-1, 1))))
     val vecs = rows.toDF("vec_id", "v")
-    // uncapped: exact-recall is a property of the band geometry; the capped
-    // production path is adversarially bounded in DedupHotBucketSpec
-    val got = Ann.cosineNearDupLshTier(vecs, minCos = 0.95, dim = dim,
-        maxBucket = Int.MaxValue)
+    // PRODUCTION defaults, cap included: with 8-bit bands the 440-vector
+    // benign corpus spreads ~2/bucket so the cap never engages, while the
+    // planted near-identical pairs collide in ≥1 band deterministically
+    val got = Ann.cosineNearDupLshTier(vecs, minCos = 0.95, dim = dim)
       .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
     // exact truth from plain loops
     val want = (for {
