@@ -34,4 +34,31 @@ class PlanSpec extends AnyFunSuite {
         spark.experimental.extraOptimizations.filterNot(_ == PipPrefilterRule)
     }
   }
+
+  test("bucketed checkpoint layout: partition pruning reaches the scan (Iceberg-style)") {
+    // the Iceberg-shaped story at 100 TB: the table is laid out by cell
+    // bucket, so a bucket predicate must prune at PLANNING time (scan only
+    // the matching directory), not as a post-scan filter over all bytes
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    try {
+      val ms = graft.pipeline.Checkpoint.run(spark, 400, dir, buckets = 4, parts = 4)
+      val wanted = ms.find(_.bucket == 2).get.rowCount
+      val df = spark.read.parquet(s"$dir/data").filter(col("bucket") === 2)
+      val scan = df.queryExecution.executedPlan.collectLeaves().mkString("\n")
+      assert(scan.contains("PartitionFilters") && scan.contains("bucket"),
+        s"bucket predicate not pushed to partition pruning:\n$scan")
+      // pruning must agree with the committed lineage row for row
+      assert(df.count() == wanted)
+      // and a non-partition predicate must still push down to parquet
+      val df2 = spark.read.parquet(s"$dir/data").filter(col("fmt") === "png")
+      val scan2 = df2.queryExecution.executedPlan.collectLeaves().mkString("\n")
+      assert(scan2.contains("PushedFilters") && scan2.contains("fmt"),
+        s"fmt predicate not pushed to parquet:\n$scan2")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
 }
