@@ -70,6 +70,11 @@ object SparkEntry {
     // corpora, not just in the adversarial unit spec (round-3 verdict item)
     "q58_minhash_capped" -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
     "q59_simhash_capped" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
+    // dup-GROUP resolution: connected components (hash-min propagation) over
+    // the verified minhash pair graph — the decision step of a dedup
+    // pipeline, vs DuckDB's recursive-CTE transitive closure
+    "q63_dup_components" -> ((s: SparkSession, d: String) =>
+      Dedup.dupComponents(Dedup.minhashLsh(s, d, maxBucket = Int.MaxValue))),
     "q29_fingerprint" -> (TextOps.fingerprints _),
     // per-language exact quality percentiles (pretraining filter thresholds)
     "q51_quality_percentiles" -> (TextOps.qualityPercentiles _),
@@ -553,6 +558,20 @@ object SparkEntry {
     // corpus the default caps must not engage, so capped == uncapped == exact
     "q58_minhash_capped" -> minhashAllPairsOracle,
     "q59_simhash_capped" -> simhashAllPairsOracle,
+    // transitive closure of the same exact pair graph via a recursive CTE —
+    // fully independent of the engine's label-propagation implementation
+    "q63_dup_components" ->
+      s"""WITH RECURSIVE pairs AS ($minhashAllPairsOracle),
+         e AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs),
+         verts AS (SELECT DISTINCT u AS doc_id FROM e),
+         reach(doc_id, r) AS (
+           SELECT doc_id, doc_id FROM verts
+           UNION
+           SELECT e.u, reach.r FROM e JOIN reach ON reach.doc_id = e.v
+         ),
+         lab AS (SELECT doc_id, min(r) AS label FROM reach GROUP BY 1)
+         SELECT label AS component, count(*)::BIGINT AS n_docs, max(doc_id)::BIGINT AS max_doc
+         FROM lab GROUP BY 1""",
     "q55_ann_ivf" -> bruteTopKOracle,
     "q30_ann_brute" -> bruteTopKOracle,
     "q60_daily_point_summaries" -> OracleSql.q60(2000),

@@ -287,6 +287,47 @@ object Dedup {
       .select(col("a"), col("b"), col("ham"))
   }
 
+  /** Connected components over a near-dup pair graph — the dup-GROUP
+    * resolution step that turns verified pairs into dedup decisions (keep
+    * one representative per component, drop the rest). Hash-min label
+    * propagation: every vertex starts labelled with its own id; each round,
+    * a vertex takes the min of its label and its neighbors' labels; rounds
+    * continue until a fixpoint (≤ graph diameter, which for near-dup graphs
+    * is tiny — dup clusters are dense). Each round is ONE shuffle on vertex
+    * id (edge join + groupBy min); edges and labels are materialized per
+    * round so the loop's lineage cannot grow unboundedly. At 10^12 rows the
+    * standard large-star/small-star variant halves the round count; the
+    * per-round plan here is already its building block. Driver involvement
+    * is one convergence count per round — no data collects.
+    *
+    * Input: (a, b) candidate pairs with a < b (any of the candidate
+    * generators). Output: one row per component with ≥2 members. */
+  def dupComponents(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.DataFrame
+    val edges = pairs.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(pairs.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint()
+    var labels: DataFrame = edges.select(col("u").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 64) {
+      val nbrMin = edges.join(labels, edges("v") === labels("doc_id"))
+        .groupBy(col("u")).agg(min(col("label")).as("nbr_min"))
+      val next = labels.as("l").join(nbrMin, col("l.doc_id") === col("u"), "left")
+        .select(col("l.doc_id").as("doc_id"),
+          least(col("l.label"), coalesce(col("nbr_min"), col("l.label"))).as("label"))
+        .localCheckpoint()
+      changed = next.as("n").join(labels.as("o"), Seq("doc_id"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels = next
+      rounds += 1
+    }
+    labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_doc"))
+      .select(col("label").as("component"), col("n_docs"), col("max_doc"))
+  }
+
   /** n-gram Jaccard near-dup, exact (the verification-grade variant):
     * explode distinct shingles, DROP shingles with document frequency >
     * `maxDf` (standard near-dup practice — one hot boilerplate shingle

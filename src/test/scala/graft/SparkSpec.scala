@@ -384,6 +384,16 @@ class DedupHotBucketSpec extends AnyFunSuite {
     assert(rows.forall(r => (r.getLong(0) == 0L || r.getLong(1) == 999L) && r.getInt(2) == 0))
   }
 
+  test("dup components: hash-min propagation matches hand truth incl. path graphs") {
+    import spark.implicits._
+    // a 5-chain (worst diameter per edge), a triangle, a 2-cluster, sharing no ids
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (20L, 21L)).toDF("a", "b")
+    val got = Dedup.dupComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 5L, 5L), (10L, 3L, 12L), (20L, 2L, 21L)))
+  }
+
   test("ANN LSH tier: 1k identical vectors emit bounded dual-star pairs, all verified") {
     import spark.implicits._
     import graft.ann.Ann
