@@ -26,11 +26,7 @@ object CheckpointCheck {
     val dirA = "/tmp/ckpt_resume"; val dirB = "/tmp/ckpt_fresh"
     for (d <- Seq(dirA, dirB)) {
       val p = java.nio.file.Paths.get(d)
-      if (java.nio.file.Files.exists(p)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.delete)
-      }
+      graft.pipeline.Checkpoint.deleteRecursively(p)
     }
 
     val r1 = Checkpoint.run(spark, n, dirA, buckets, parts = 8, maxBuckets = kill)

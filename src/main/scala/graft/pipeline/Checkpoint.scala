@@ -33,6 +33,18 @@ object Checkpoint {
 
   private def manifestPath(outDir: String, b: Int) = Paths.get(s"$outDir/_commits/bucket-$b.json")
 
+  /** Recursive scratch-dir delete — the ONE definition (was copy-pasted in
+    * five places across src/tools). Closes the walk stream and tolerates a
+    * missing path. */
+  def deleteRecursively(path: java.nio.file.Path): Unit =
+    if (Files.exists(path)) {
+      val walk = Files.walk(path)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      } finally walk.close()
+    }
+
   def committed(outDir: String, buckets: Int): Set[Int] =
     (0 until buckets).filter(b => Files.exists(manifestPath(outDir, b))).toSet
 
@@ -81,10 +93,8 @@ object Checkpoint {
     // the manifests are driver-side values once run() returns — the scratch
     // build (parquet + commits) is deleted before the gate row-set is built,
     // so repeated bench/gate invocations cannot accumulate tmp data
-    val ms = try run(spark, n, dir.toString, buckets, parts) finally {
-      import scala.jdk.CollectionConverters._
-      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-    }
+    val ms = try run(spark, n, dir.toString, buckets, parts)
+             finally deleteRecursively(dir)
     ms.map(m => (m.bucket, m.cellMin, m.cellMax, m.rowCount, m.nPixelsOk, m.nCaptionsOk))
       .toDF("bucket", "cell_min", "cell_max", "row_count", "n_pixels_ok", "n_captions_ok")
   }

@@ -302,8 +302,7 @@ object Dedup {
     *
     * Input: (a, b) candidate pairs with a < b (any of the candidate
     * generators). Output: one row per component with ≥2 members. */
-  def dupComponents(pairs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.DataFrame
+  def dupComponents(pairs: DataFrame, maxRounds: Int = 64): DataFrame = {
     val edges = pairs.select(col("a").as("u"), col("b").as("v"))
       .unionByName(pairs.select(col("b").as("u"), col("a").as("v")))
       .localCheckpoint()
@@ -311,7 +310,7 @@ object Dedup {
       .withColumn("label", col("doc_id")).localCheckpoint()
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 64) {
+    while (changed > 0 && rounds < maxRounds) {
       val nbrMin = edges.join(labels, edges("v") === labels("doc_id"))
         .groupBy(col("u")).agg(min(col("label")).as("nbr_min"))
       val next = labels.as("l").join(nbrMin, col("l.doc_id") === col("u"), "left")
@@ -320,13 +319,29 @@ object Dedup {
         .localCheckpoint()
       changed = next.as("n").join(labels.as("o"), Seq("doc_id"))
         .filter(col("n.label") =!= col("o.label")).count()
+      freeLocalCheckpoint(labels) // superseded round's blocks, freed eagerly
       labels = next
       rounds += 1
     }
+    // an unconverged exit would silently split real components (under-dedup
+    // with no signal) — refuse instead; near-dup graphs converge in a few
+    // rounds, so hitting the cap means the input is not a near-dup graph
+    require(changed == 0,
+      s"dupComponents did not converge within $maxRounds rounds (diameter too large)")
+    freeLocalCheckpoint(edges) // the final rollup reads only `labels`
     labels.groupBy(col("label"))
       .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_doc"))
       .select(col("label").as("component"), col("n_docs"), col("max_doc"))
   }
+
+  /** Eagerly drop a superseded localCheckpoint's cached blocks (the
+    * ContextCleaner only reclaims them on GC, which strands superseded
+    * label rounds at MEMORY_AND_DISK for the JVM lifetime otherwise). */
+  private def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
 
   /** n-gram Jaccard near-dup, exact (the verification-grade variant):
     * explode distinct shingles, DROP shingles with document frequency >

@@ -12,11 +12,7 @@ class CheckpointSpec extends AnyFunSuite {
 
   private def rmrf(d: String): Unit = {
     val p = java.nio.file.Paths.get(d)
-    if (java.nio.file.Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.delete)
-    }
+    Checkpoint.deleteRecursively(p)
   }
 
   test("kill-after-K resume: identical manifests, no double counting") {
@@ -85,11 +81,7 @@ class StoredTableSpec extends AnyFunSuite {
   test("stored-table pipeline: bytes column pruned from the scan, results match fast path") {
     val dir = "/tmp/stored_table_spec"
     val p = java.nio.file.Paths.get(dir)
-    if (java.nio.file.Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.delete)
-    }
+    Checkpoint.deleteRecursively(p)
     ImagePipeline.synthTable(spark, 800, 4).write.parquet(dir)
 
     val stored = spark.read.parquet(dir)
@@ -112,11 +104,7 @@ class StoredTableSpec extends AnyFunSuite {
   test("snapshot.json appears only when every bucket is committed") {
     val dir = "/tmp/ckpt_snapshot_spec"
     val p = java.nio.file.Paths.get(dir)
-    if (java.nio.file.Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.delete)
-    }
+    Checkpoint.deleteRecursively(p)
     Checkpoint.run(spark, 400L, dir, 4, parts = 4, maxBuckets = 2)
     assert(Checkpoint.writeSnapshot(dir, 4).isEmpty) // incomplete -> no snapshot
     Checkpoint.run(spark, 400L, dir, 4, parts = 4)
