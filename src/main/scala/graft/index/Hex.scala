@@ -18,15 +18,24 @@ object Hex {
   val MinRes = 0
   val MaxRes = 14
 
+  // hot-path constants: edgeDeg was a math.pow PER ROW inside the feature
+  // scan (latLngToQR runs once per feature at 10^8+ rows/s) — the cached
+  // values are the identical doubles, so every cell id is bit-unchanged
+  private val EdgeDeg: Array[Double] =
+    Array.tabulate(MaxRes + 1)(r => 45.0 / math.pow(7.0, r / 2.0))
+  private val Sqrt3 = math.sqrt(3.0)
+  private val Sqrt3Third = math.sqrt(3.0) / 3.0
+
   /** Hex edge length in degrees at a resolution. Res 0 = 45°, each step
     * divides linear size by sqrt(7) (aperture-7-like). */
-  def edgeDeg(res: Int): Double = 45.0 / math.pow(7.0, res / 2.0)
+  def edgeDeg(res: Int): Double =
+    if (res >= MinRes && res <= MaxRes) EdgeDeg(res) else 45.0 / math.pow(7.0, res / 2.0)
 
   /** lon/lat -> axial (q, r) at res. Pointy-top axial coordinates. */
   def latLngToQR(lat: Double, lon: Double, res: Int): (Int, Int) = {
     val size = edgeDeg(res)
     // pointy-top: x -> q basis (sqrt3*size, 0), r basis (sqrt3/2*size, 3/2*size)
-    val qf = (math.sqrt(3.0) / 3.0 * lon - 1.0 / 3.0 * lat) / size
+    val qf = (Sqrt3Third * lon - 1.0 / 3.0 * lat) / size
     val rf = (2.0 / 3.0 * lat) / size
     cubeRound(qf, rf)
   }
@@ -46,7 +55,7 @@ object Hex {
   /** Axial (q,r) -> cell center (lat, lon). */
   def cellCenter(q: Int, r: Int, res: Int): (Double, Double) = {
     val size = edgeDeg(res)
-    val lon = size * (math.sqrt(3.0) * q + math.sqrt(3.0) / 2.0 * r)
+    val lon = size * (Sqrt3 * q + Sqrt3 / 2.0 * r)
     val lat = size * (3.0 / 2.0 * r)
     (lat, lon)
   }
