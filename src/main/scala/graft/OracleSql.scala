@@ -347,7 +347,7 @@ object OracleSql {
   def q46(n: Long): String =
     s"""WITH ${pipelineCtes(n)},
        |c AS (SELECT uid, day,
-       |        floor(lon * 1000000.0 + 0.5) AS lon_e6, floor(lat * 1000000.0 + 0.5) AS lat_e6
+       |        floor(lon * 1000000.0 + 0.5)::BIGINT AS lon_e6, floor(lat * 1000000.0 + 0.5)::BIGINT AS lat_e6
        |      FROM pj WHERE boundary_id IS NOT NULL)
        |SELECT uid, day,
        |  floor(sum(lon_e6) / count(*) + 0.5)::BIGINT AS c_lon_e6,
@@ -404,7 +404,7 @@ object OracleSql {
   def q60(n: Long): String =
     s"""WITH ${pipelineCtes(n)},
        |f AS (SELECT team, day,
-       |  floor(lon * 1000000.0 + 0.5) AS lon_e6, floor(lat * 1000000.0 + 0.5) AS lat_e6,
+       |  floor(lon * 1000000.0 + 0.5)::BIGINT AS lon_e6, floor(lat * 1000000.0 + 0.5)::BIGINT AS lat_e6,
        |  CASE WHEN noun_id = 1 THEN floor($segKm * 1000000.0 + 0.5)::BIGINT ELSE 0 END AS km_e6,
        |  CASE WHEN noun_id = 0 THEN 1 ELSE 0 END AS is_b,
        |  CASE WHEN noun_id IN (3, 4) THEN 1 ELSE 0 END AS is_p

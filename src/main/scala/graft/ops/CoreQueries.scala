@@ -68,10 +68,17 @@ object CoreQueries {
       .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_with_orders"))
     val without = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_without_orders"))
-    withO.join(without, Seq("c_nationkey"), "full_outer")
+    val res = withO.join(without, Seq("c_nationkey"), "full_outer")
       .select(col("c_nationkey"),
         coalesce(col("n_with_orders"), lit(0L)).as("n_with_orders"),
         coalesce(col("n_without_orders"), lit(0L)).as("n_without_orders"))
+    // the rollup is dimension-bounded (one row per nation key), so an eager
+    // driver materialization is scale-safe — and it lets the keyset
+    // checkpoint be FREED here instead of stranding MEMORY_AND_DISK blocks
+    // per invocation for the JVM lifetime (repeated bench reps accumulate)
+    val rows = res.collect()
+    graft.CacheOps.freeLocalCheckpoint(o)
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
   }
 
   // ---- event-stream windows (the contribution-stream semantics) -----------

@@ -294,15 +294,31 @@ object Dedup {
     * a vertex takes the min of its label and its neighbors' labels; rounds
     * continue until a fixpoint (≤ graph diameter, which for near-dup graphs
     * is tiny — dup clusters are dense). Each round is ONE shuffle on vertex
-    * id (edge join + groupBy min); edges and labels are materialized per
-    * round so the loop's lineage cannot grow unboundedly. At 10^12 rows the
-    * standard large-star/small-star variant halves the round count; the
-    * per-round plan here is already its building block. Driver involvement
-    * is one convergence count per round — no data collects.
+    * id (edge join + groupBy min) and ONE driver action: the eager
+    * localCheckpoint that materializes the round ALSO carries the
+    * convergence signal, via an accumulator counting label decreases inside
+    * the round's own job (the round-4 version ran a second join+count action
+    * per round just to detect convergence). A retried task can over-count
+    * the accumulator, never under-count — and only exact 0 means anything,
+    * so over-counting costs at most one extra (no-op) round. Edges and
+    * labels are materialized per round so the loop's lineage cannot grow
+    * unboundedly. At 10^12 rows the standard large-star/small-star variant
+    * halves the round count; the per-round plan here is already its building
+    * block. No data collects to the driver.
+    *
+    * Block hygiene: superseded label rounds and the edge set are freed
+    * eagerly ([[graft.CacheOps.freeLocalCheckpoint]]); the final rollup is
+    * itself eagerly checkpointed so the LAST label set can be freed before
+    * returning — the returned frame holds only the O(components) rollup,
+    * reclaimed by the ContextCleaner once the caller drops it (callers
+    * looping over many graphs in one JVM can free it immediately with
+    * `CacheOps.freeLocalCheckpoint`).
     *
     * Input: (a, b) candidate pairs with a < b (any of the candidate
     * generators). Output: one row per component with ≥2 members. */
   def dupComponents(pairs: DataFrame, maxRounds: Int = 64): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
     val edges = pairs.select(col("a").as("u"), col("b").as("v"))
       .unionByName(pairs.select(col("b").as("u"), col("a").as("v")))
       .localCheckpoint()
@@ -311,15 +327,18 @@ object Dedup {
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < maxRounds) {
+      val acc = spark.sparkContext.longAccumulator(s"graft.cc.decreases.r$rounds")
       val nbrMin = edges.join(labels, edges("v") === labels("doc_id"))
         .groupBy(col("u")).agg(min(col("label")).as("nbr_min"))
       val next = labels.as("l").join(nbrMin, col("l.doc_id") === col("u"), "left")
-        .select(col("l.doc_id").as("doc_id"),
+        .select(col("l.doc_id").as("doc_id"), col("l.label").as("old_label"),
           least(col("l.label"), coalesce(col("nbr_min"), col("l.label"))).as("label"))
-        .localCheckpoint()
-      changed = next.as("n").join(labels.as("o"), Seq("doc_id"))
-        .filter(col("n.label") =!= col("o.label")).count()
-      freeLocalCheckpoint(labels) // superseded round's blocks, freed eagerly
+        .as[(Long, Long, Long)]
+        .map { case (id, old, nw) => if (nw < old) acc.add(1L); (id, nw) }
+        .toDF("doc_id", "label")
+        .localCheckpoint() // eager: this materialization populates `acc`
+      changed = acc.value
+      graft.CacheOps.freeLocalCheckpoint(labels) // superseded round's blocks
       labels = next
       rounds += 1
     }
@@ -328,20 +347,14 @@ object Dedup {
     // rounds, so hitting the cap means the input is not a near-dup graph
     require(changed == 0,
       s"dupComponents did not converge within $maxRounds rounds (diameter too large)")
-    freeLocalCheckpoint(edges) // the final rollup reads only `labels`
-    labels.groupBy(col("label"))
+    graft.CacheOps.freeLocalCheckpoint(edges) // the final rollup reads only `labels`
+    val rollup = labels.groupBy(col("label"))
       .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_doc"))
       .select(col("label").as("component"), col("n_docs"), col("max_doc"))
+      .localCheckpoint() // eager, so the full label set can be freed now
+    graft.CacheOps.freeLocalCheckpoint(labels)
+    rollup
   }
-
-  /** Eagerly drop a superseded localCheckpoint's cached blocks (the
-    * ContextCleaner only reclaims them on GC, which strands superseded
-    * label rounds at MEMORY_AND_DISK for the JVM lifetime otherwise). */
-  private def freeLocalCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
-      case _ => ()
-    }
 
   /** n-gram Jaccard near-dup, exact (the verification-grade variant):
     * explode distinct shingles, DROP shingles with document frequency >
