@@ -16,8 +16,8 @@ object CheckpointCheck {
     spark.sparkContext.setLogLevel("WARN")
 
     def digests(dir: String): Map[Int, (Long, Long)] =
-      Checkpoint.committed(dir, buckets).map { b =>
-        val j = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$dir/_commits/bucket-$b.json"))
+      Checkpoint.committed(dir, 0, buckets).map { b =>
+        val j = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$dir/_commits/epoch-0/bucket-$b.json"))
         val rc = """"rowCount":(-?\d+)""".r.findFirstMatchIn(j).get.group(1).toLong
         val ph = """"phashDigest":(-?\d+)""".r.findFirstMatchIn(j).get.group(1).toLong
         b -> (rc, ph)

@@ -473,15 +473,18 @@ object OracleSql {
     * engine's sentinel (Long.MaxValue/MinValue, 0). Validation counters
     * equal rowCount — the all-rows-validate expectation, DuckDB being unable
     * to decode pixels (q33 semantics). */
-  def q62(n: Long, buckets: Int, hexRes: Int = 7): String = {
-    // inlined from Scala so pow/sqrt library differences cannot bite: the
-    // SQL parses the shortest-roundtrip decimal back to the identical double
+  /** CTE block shared by q62/q64: per-idx hex cell (axial projection + cube
+    * rounding) and bucket assignment, ending in `bk(idx, cell, bucket)`.
+    * Constants are inlined from the Scala side via shortest-roundtrip
+    * formatting so pow/sqrt library differences cannot bite — the SQL parses
+    * the decimal back to the identical double. */
+  private def hexBucketCtes(n: Long, buckets: Int, hexRes: Int): String = {
     val sz = graft.index.Hex.edgeDeg(hexRes).toString
     val c1 = (math.sqrt(3.0) / 3.0).toString
     val c2 = (1.0 / 3.0).toString
     val c4 = (2.0 / 3.0).toString
     val bias = 1L << 29
-    s"""WITH ${pipelineCtes(n)},
+    s"""${pipelineCtes(n)},
        |hx0 AS (SELECT idx, ($c1 * lon - $c2 * lat) / $sz AS qf, ($c4 * lat) / $sz AS rf FROM pj),
        |hx1 AS (SELECT idx, qf, rf, -qf - rf AS sf,
        |        floor(qf + 0.5)::BIGINT AS q0, floor(rf + 0.5)::BIGINT AS r0 FROM hx0),
@@ -492,7 +495,11 @@ object OracleSql {
        |       CASE WHEN NOT (dq > dr AND dq > ds) AND dr > ds THEN -q0 - s0 ELSE r0 END AS r
        |       FROM hx2),
        |cell AS (SELECT idx, ($hexRes::BIGINT << 60) + ((q + $bias) << 30) + (r + $bias) AS cell FROM hx),
-       |bk AS (SELECT idx, cell, ((${mix("cell")} & 2147483647) % $buckets)::INT AS bucket FROM cell),
+       |bk AS (SELECT idx, cell, ((${mix("cell")} & 2147483647) % $buckets)::INT AS bucket FROM cell)""".stripMargin
+  }
+
+  def q62(n: Long, buckets: Int, hexRes: Int = 7): String =
+    s"""WITH ${hexBucketCtes(n, buckets, hexRes)},
        |agg AS (SELECT bucket, min(cell) AS cell_min, max(cell) AS cell_max,
        |        count(*)::BIGINT AS row_count FROM bk GROUP BY 1)
        |SELECT b.b::INT AS bucket,
@@ -502,7 +509,29 @@ object OracleSql {
        |  coalesce(a.row_count, 0)::BIGINT AS n_pixels_ok,
        |  coalesce(a.row_count, 0)::BIGINT AS n_captions_ok
        |FROM range(0, $buckets) b(b) LEFT JOIN agg a ON b.b = a.bucket""".stripMargin
-  }
+
+  /** Replica oracle for q64 (append-only incremental ingestion): the same
+    * analytic hex-cell/bucket lineage derivation as q62, over the FULL grown
+    * domain [0, n1) with the epoch inferred from the id (idx < n0 → epoch 0,
+    * else epoch 1) — exactly the split the engine saw as two successive
+    * incremental runs. Grouping by (epoch, bucket) and emitting the sentinel
+    * for empty partitions, a hash match proves the incremental manifests
+    * jointly describe every row of the union: nothing appended was dropped
+    * into an already-committed partition, nothing was double-counted. */
+  def q64(n0: Long, n1: Long, buckets: Int, hexRes: Int = 7): String =
+    s"""WITH ${hexBucketCtes(n1, buckets, hexRes)},
+       |bke AS (SELECT idx, cell, bucket,
+       |        CASE WHEN idx < $n0 THEN 0 ELSE 1 END AS epoch FROM bk),
+       |agg AS (SELECT epoch, bucket, min(cell) AS cell_min, max(cell) AS cell_max,
+       |        count(*)::BIGINT AS row_count FROM bke GROUP BY 1, 2)
+       |SELECT e.e::INT AS epoch, b.b::INT AS bucket,
+       |  coalesce(a.cell_min, 9223372036854775807)::BIGINT AS cell_min,
+       |  coalesce(a.cell_max, -9223372036854775808)::BIGINT AS cell_max,
+       |  coalesce(a.row_count, 0)::BIGINT AS row_count,
+       |  coalesce(a.row_count, 0)::BIGINT AS n_pixels_ok,
+       |  coalesce(a.row_count, 0)::BIGINT AS n_captions_ok
+       |FROM range(0, 2) e(e) CROSS JOIN range(0, $buckets) b(b)
+       |LEFT JOIN agg a ON e.e = a.epoch AND b.b = a.bucket""".stripMargin
 
   // ---- q31: full ANN-LSH replica oracle ------------------------------------
 

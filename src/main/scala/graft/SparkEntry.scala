@@ -127,6 +127,13 @@ object SparkEntry {
     // the analytic bucket/cell-range/row-count derivation
     "q62_checkpoint_lineage" -> ((s: SparkSession, _: String) =>
       graft.pipeline.Checkpoint.lineageGate(s, 800L, buckets = 8, parts = 8)),
+    // append-only incremental ingestion (epoch-scoped manifests): epoch 0
+    // builds [0, 500), the input grows by [500, 800), an incremental run
+    // ingests exactly the new epoch and a re-run is a no-op — the emitted
+    // (epoch, bucket) manifests hash against the analytic derivation over
+    // the full grown domain
+    "q64_checkpoint_append" -> ((s: SparkSession, _: String) =>
+      graft.pipeline.Checkpoint.appendGate(s, 500L, 800L, buckets = 8, parts = 8)),
     // multi-zoom tile emission (zoom-band layers): bit-shift parent chain
     "q49_multizoom_rollup" -> ((s: SparkSession, _: String) =>
       ImagePipeline.multiZoomRollup(s, 2000L, 16)),
@@ -577,6 +584,7 @@ object SparkEntry {
     "q60_daily_point_summaries" -> OracleSql.q60(2000),
     "q61_object_features" -> OracleSql.q61(2000),
     "q62_checkpoint_lineage" -> OracleSql.q62(800, 8),
+    "q64_checkpoint_append" -> OracleSql.q64(500, 800, 8),
     // q31's oracle replicates the WHOLE LSH pipeline in SQL (inlined plane
     // constants, signatures, banding, dedup, exact rerank) — see OracleSql.q31
     "q31_ann_lsh" -> OracleSql.q31(graft.ann.Ann.hyperplanes(16, 64)),

@@ -7,13 +7,23 @@ import graft.synth.{ImageSynth, Geotag}
 import graft.index.Hex
 
 /** Resumable per-partition checkpointing with lineage (north_rule): the cell
-  * space is split into `buckets` by hex-cell hash; each bucket is processed
-  * as its own Spark job whose output commits atomically via a manifest JSON
-  * `(bucket, cellMin, cellMax, rowCount, phashDigest, validation metrics)`.
-  * A rerun skips every bucket whose manifest exists — exactly-once without
-  * Iceberg's snapshot machinery (SURVEY.md §7.4 #7). Bucket selection happens
-  * on the cheap seed-derived geotag, so skipped buckets cost only arithmetic,
-  * never pixel rendering.
+  * space is split into `buckets` by hex-cell hash; each (epoch, bucket)
+  * partition commits atomically via a manifest JSON `(epoch, bucket, cellMin,
+  * cellMax, rowCount, phashDigest, validation metrics)`. A rerun skips every
+  * (epoch, bucket) whose manifest exists — exactly-once without Iceberg's
+  * snapshot machinery (SURVEY.md §7.4 #7). Bucket selection happens on the
+  * cheap seed-derived geotag, so skipped buckets cost only arithmetic, never
+  * pixel rendering.
+  *
+  * EPOCHS are the append dimension (the reference continually appends
+  * weekly/monthly changesets — changesets/README.md:47): each arriving batch
+  * of source ids is its own epoch with its own manifests and its own
+  * `data/epoch=E/bucket=B` partitions. The round-4 design keyed manifests by
+  * bucket alone, so rows appended after a bucket committed were silently
+  * skipped on the next run; with the epoch key, committed partitions are
+  * immutable by construction and new data can only land in a NEW epoch —
+  * two successive incremental runs produce byte-identical state to a
+  * one-shot batch over the union (gated by q64 + CheckpointSpec).
   *
   * Mirrors the reference's `extraction.status` progress + error-counter file
   * (InteractionsBuilder.java:114-123,470-507) upgraded to machine-readable
@@ -21,7 +31,7 @@ import graft.index.Hex
   */
 object Checkpoint {
 
-  final case class Manifest(bucket: Int, cellMin: Long, cellMax: Long,
+  final case class Manifest(epoch: Int, bucket: Int, cellMin: Long, cellMax: Long,
                             rowCount: Long, phashDigest: Long,
                             nPixelsOk: Long, nCaptionsOk: Long)
 
@@ -31,7 +41,8 @@ object Checkpoint {
     (ImageSynth.mix(cell) & 0x7FFFFFFF).toInt % buckets
   }
 
-  private def manifestPath(outDir: String, b: Int) = Paths.get(s"$outDir/_commits/bucket-$b.json")
+  private def manifestPath(outDir: String, e: Int, b: Int) =
+    Paths.get(s"$outDir/_commits/epoch-$e/bucket-$b.json")
 
   /** Recursive scratch-dir delete — the ONE definition (was copy-pasted in
     * five places across src/tools). Closes the walk stream and tolerates a
@@ -45,29 +56,44 @@ object Checkpoint {
       } finally walk.close()
     }
 
-  def committed(outDir: String, buckets: Int): Set[Int] =
-    (0 until buckets).filter(b => Files.exists(manifestPath(outDir, b))).toSet
+  def committed(outDir: String, epoch: Int, buckets: Int): Set[Int] =
+    (0 until buckets).filter(b => Files.exists(manifestPath(outDir, epoch, b))).toSet
+
+  private def parseManifest(e: Int, b: Int, path: java.nio.file.Path): Manifest = {
+    // real JSON parsing (Jackson ships with Spark) — a regex field scrape
+    // silently breaks if a manifest field is ever reordered/reformatted
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val j = mapper.readTree(Files.readString(path))
+    Manifest(e, b, j.get("cellMin").asLong(), j.get("cellMax").asLong(),
+      j.get("rowCount").asLong(), j.get("phashDigest").asLong(),
+      j.get("nPixelsOk").asLong(), j.get("nCaptionsOk").asLong())
+  }
+
+  /** All committed manifests for `epochs` × `buckets` (driver-side scalars —
+    * B·E small JSON files, never data). */
+  def manifests(outDir: String, epochs: Int, buckets: Int): Seq[Manifest] =
+    for {
+      e <- 0 until epochs
+      b <- 0 until buckets
+      p = manifestPath(outDir, e, b)
+      if Files.exists(p)
+    } yield parseManifest(e, b, p)
 
   /** Table-level snapshot (the Iceberg-snapshot analog): aggregates every
-    * bucket manifest into one JSON carrying total lineage — written only when
-    * ALL buckets are committed, so its presence certifies a complete,
-    * validated table. */
-  def writeSnapshot(outDir: String, buckets: Int): Option[String] = {
-    val done = committed(outDir, buckets)
-    if (done.size != buckets) return None
-    // real JSON parsing (Jackson ships with Spark) — the earlier regex field
-    // scrape silently broke if a manifest field was ever reordered/reformatted
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val ms = (0 until buckets).map { b =>
-      mapper.readTree(java.nio.file.Files.readString(manifestPath(outDir, b)))
-    }
-    def sumOf(field: String): Long = ms.map(_.get(field).asLong()).sum
+    * (epoch, bucket) manifest into one JSON carrying total lineage — written
+    * only when ALL partitions are committed, so its presence certifies a
+    * complete, validated table at that epoch count. Appending a new epoch
+    * invalidates nothing: the next snapshot simply covers one more epoch. */
+  def writeSnapshot(outDir: String, buckets: Int, epochs: Int = 1): Option[String] = {
+    val ms = manifests(outDir, epochs, buckets)
+    if (ms.size != epochs * buckets) return None
+    def sumOf(f: Manifest => Long): Long = ms.map(f).sum
+    val paths = ms.map(m => s"\"_commits/epoch-${m.epoch}/bucket-${m.bucket}.json\"").mkString(",")
     val json =
-      s"""{"buckets":$buckets,"rowCount":${sumOf("rowCount")},
-         |"phashDigest":${ms.map(_.get("phashDigest").asLong()).reduce(_ ^ _)},
-         |"nPixelsOk":${sumOf("nPixelsOk")},"nCaptionsOk":${sumOf("nCaptionsOk")},
-         |"manifests":[${(0 until buckets).map(b => s"\"_commits/bucket-$b.json\"").mkString(",")}]}"""
-        .stripMargin.replace("\n", "")
+      s"""{"epochs":$epochs,"buckets":$buckets,"rowCount":${sumOf(_.rowCount)},
+         |"phashDigest":${ms.map(_.phashDigest).reduce(_ ^ _)},
+         |"nPixelsOk":${sumOf(_.nPixelsOk)},"nCaptionsOk":${sumOf(_.nCaptionsOk)},
+         |"manifests":[$paths]}""".stripMargin.replace("\n", "")
     val tmp = Paths.get(s"$outDir/.snapshot.json.tmp")
     Files.writeString(tmp, json)
     Files.move(tmp, Paths.get(s"$outDir/snapshot.json"), StandardCopyOption.ATOMIC_MOVE)
@@ -99,32 +125,75 @@ object Checkpoint {
       .toDF("bucket", "cell_min", "cell_max", "row_count", "n_pixels_ok", "n_captions_ok")
   }
 
+  /** Gate shape for append-only incremental ingestion (q64): epoch 0 builds
+    * ids [0, n0), then the input GROWS — epoch 1 arrives with [n0, n1) — and
+    * an incremental run processes exactly the new epoch (epoch-0 manifests
+    * skip; a third run is a no-op, asserted here). The emitted relation is
+    * every (epoch, bucket) manifest; the DuckDB oracle derives the same
+    * lineage analytically over the FULL domain with the epoch inferred from
+    * the id — so a hash match proves no appended row was dropped into an
+    * already-committed partition and no committed row was double-counted.
+    * One-shot-vs-incremental byte equality is additionally pinned in
+    * CheckpointSpec (the digests include the pixel-derived phash xor, which
+    * DuckDB cannot re-render). */
+  def appendGate(spark: SparkSession, n0: Long, n1: Long, buckets: Int = 8,
+                 parts: Int = 8): DataFrame = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_ckpt_append")
+    val ms = try {
+      runEpoch(spark, 0, 0L, n0, dir.toString, buckets, parts)
+      runEpoch(spark, 1, n0, n1, dir.toString, buckets, parts)
+      require(runEpoch(spark, 1, n0, n1, dir.toString, buckets, parts).isEmpty,
+        "incremental re-run must be a no-op")
+      manifests(dir.toString, epochs = 2, buckets)
+    } finally deleteRecursively(dir)
+    ms.map(m => (m.epoch, m.bucket, m.cellMin, m.cellMax, m.rowCount,
+        m.nPixelsOk, m.nCaptionsOk))
+      .toDF("epoch", "bucket", "cell_min", "cell_max", "row_count",
+        "n_pixels_ok", "n_captions_ok")
+  }
+
   /** Diagnostic: id-range rows scanned by the LAST run's synthesis pass —
     * the spec asserts the range is scanned ONCE regardless of bucket count
     * (the round-1 design re-filtered the full range once per bucket). */
   @volatile var lastRangeEvals: Long = -1L
 
-  /** Process all uncommitted buckets; optionally stop after `maxBuckets`
-    * (the kill-after-K test hook).
-    *
-    * ONE synthesis pass: every id is bucket-assigned from its seed
-    * (arithmetic only — skipped ids never render pixels), uncommitted
-    * buckets render and write in a single `partitionBy("bucket")` job with
-    * dynamic partition overwrite (committed buckets' files are untouched).
-    * Manifests then derive per bucket from the WRITTEN files — proving the
-    * committed bytes — and commit atomically (tmp + rename). */
+  /** Single-epoch convenience (the fixed-input shape rounds 1-4 gated). */
   def run(spark: SparkSession, n: Long, outDir: String, buckets: Int = 8,
-          parts: Int = 32, hexRes: Int = 7, maxBuckets: Int = Int.MaxValue): Seq[Manifest] = {
+          parts: Int = 32, hexRes: Int = 7, maxBuckets: Int = Int.MaxValue): Seq[Manifest] =
+    runEpoch(spark, 0, 0L, n, outDir, buckets, parts, hexRes, maxBuckets)
+
+  /** Process one epoch's uncommitted buckets; optionally stop after
+    * `maxBuckets` (the kill-after-K test hook).
+    *
+    * ONE synthesis pass: every id in [idStart, idEnd) is bucket-assigned
+    * from its seed (arithmetic only — skipped ids never render pixels),
+    * uncommitted buckets render and write in a single
+    * `partitionBy("bucket")` job under `data/epoch=E/` with dynamic
+    * partition overwrite (committed buckets' files are untouched; other
+    * epochs' directories are untouched by construction).
+    *
+    * ONE stats action: manifests derive from the WRITTEN files — proving
+    * the committed bytes — in a single grouped pass (per-row hex cell +
+    * decode/caption validation → groupBy(bucket) agg → B driver scalars).
+    * The round-4 shape issued 2 sequential aggregation jobs PER bucket from
+    * a driver loop; at B buckets that serialized 2B job submissions for
+    * work one job covers (CheckpointSpec pins the action count). Empty
+    * buckets fall out of the same pass: absent from the agg result → commit
+    * the sentinel manifest. Commits stay per-bucket atomic (tmp + rename). */
+  def runEpoch(spark: SparkSession, epoch: Int, idStart: Long, idEnd: Long,
+               outDir: String, buckets: Int = 8, parts: Int = 32,
+               hexRes: Int = 7, maxBuckets: Int = Int.MaxValue): Seq[Manifest] = {
     import spark.implicits._
-    Files.createDirectories(Paths.get(s"$outDir/_commits"))
-    val done = committed(outDir, buckets)
+    Files.createDirectories(Paths.get(s"$outDir/_commits/epoch-$epoch"))
+    val done = committed(outDir, epoch, buckets)
     val todo = (0 until buckets).filterNot(done.contains).take(maxBuckets)
     if (todo.isEmpty) { return Seq.empty }
     val res = hexRes; val nb = buckets
     val bcTodo = spark.sparkContext.broadcast(todo.toSet)
     val evals = spark.sparkContext.longAccumulator("graft.ckpt.rangeEvals")
 
-    val rows = spark.range(0L, n, 1L, parts).mapPartitions { it =>
+    val rows = spark.range(idStart, idEnd, 1L, parts).mapPartitions { it =>
       val t = bcTodo.value
       it.flatMap { i =>
         evals.add(1L)
@@ -139,49 +208,66 @@ object Checkpoint {
 
     // per-write option, NOT a session-conf mutation: concurrent writers in
     // the same session must not race into static-overwrite semantics
+    val epochPath = s"$outDir/data/epoch=$epoch"
     rows.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bucket").parquet(s"$outDir/data")
+      .partitionBy("bucket").parquet(epochPath)
     lastRangeEvals = evals.value
 
-    todo.map { b =>
-      val dataPath = s"$outDir/data/bucket=$b"
-
-      // zero-row bucket (possible when n is small vs buckets): partitionBy
-      // creates no directory — commit an empty manifest with sentinel lineage.
-      // Existence resolves through the Hadoop FileSystem of the path (works
-      // on HDFS/S3 outDirs, unlike a java.nio check)
-      val hPath = new org.apache.hadoop.fs.Path(dataPath)
-      val dataExists = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hPath)
-      val m = if (!dataExists)
-        Manifest(b, Long.MaxValue, Long.MinValue, 0L, 0L, 0L, 0L)
+    // all-todo-buckets-empty edge (idStart==idEnd): the write creates no
+    // readable parquet, so the grouped pass has nothing to scan. Existence
+    // resolves through the Hadoop FileSystem of the path (works on HDFS/S3
+    // outDirs, unlike a java.nio check)
+    val hPath = new org.apache.hadoop.fs.Path(epochPath)
+    val anyData = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hPath) &&
+      idEnd > idStart
+    val stats: Map[Int, (Long, Long, Long, Long, Long, Long)] =
+      if (!anyData) Map.empty
       else {
         // lineage + validation metrics from what was just written (re-read →
-        // proves the committed bytes, not the in-flight ones)
-        val written = spark.read.parquet(dataPath)
-        val v = Validate.verdicts(written).toDF()
-        val feats = ImagePipeline.featuresFromTable(written, hexRes = res)
-        val stats = feats.agg(
-          min(col("hex")).as("cellMin"), max(col("hex")).as("cellMax"),
-          count(lit(1)).as("rowCount"),
-          // order-independent digest: xor of phashes
-          expr("bit_xor(phash)").as("phashDigest")
-        ).head()
-        val vstats = v.agg(
-          sum(when(col("pixels_ok"), 1L).otherwise(0L)),
-          sum(when(col("caption_ok"), 1L).otherwise(0L))).head()
-        if (stats.isNullAt(0))
-          Manifest(b, Long.MaxValue, Long.MinValue, 0L, 0L, 0L, 0L)
-        else Manifest(b, stats.getLong(0), stats.getLong(1), stats.getLong(2),
-          stats.getLong(3), if (vstats.isNullAt(0)) 0L else vstats.getLong(0),
-          if (vstats.isNullAt(1)) 0L else vstats.getLong(1))
+        // proves the committed bytes, not the in-flight ones), ALL buckets in
+        // one grouped action. Resumed runs must not re-derive committed
+        // buckets: filter to this run's `todo` partitions.
+        val written = spark.read.parquet(epochPath)
+          .filter(col("bucket").isin(todo: _*))
+        written.select(col("bucket"), col("image_id"), col("bytes"),
+            col("fmt"), col("caption"), col("phash"))
+          .as[(Int, String, Array[Byte], String, String, Long)]
+          .mapPartitions { it =>
+            it.map { case (b, id, bytes, fmt, caption, phash) =>
+              val seed = ImageSynth.seedOf(id.stripPrefix("img").toLong)
+              val (lon, lat) = Geotag.of(seed)
+              val v = Validate.verdictOf(id, bytes, fmt, caption, phash)
+              (b, Hex.latLngToCell(lat, lon, res), phash,
+                if (v.pixels_ok) 1L else 0L, if (v.caption_ok) 1L else 0L)
+            }
+          }
+          .toDF("bucket", "cell", "phash", "pok", "cok")
+          .groupBy(col("bucket"))
+          .agg(min(col("cell")).as("cellMin"), max(col("cell")).as("cellMax"),
+            count(lit(1)).as("rowCount"),
+            // order-independent digest: xor of phashes
+            expr("bit_xor(phash)").as("phashDigest"),
+            sum(col("pok")).as("nPixelsOk"), sum(col("cok")).as("nCaptionsOk"))
+          .collect()
+          .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4), r.getLong(5), r.getLong(6)))
+          .toMap
+      }
+
+    todo.map { b =>
+      val m = stats.get(b) match {
+        case Some((cMin, cMax, rc, ph, pok, cok)) =>
+          Manifest(epoch, b, cMin, cMax, rc, ph, pok, cok)
+        case None => // zero-row bucket: sentinel lineage
+          Manifest(epoch, b, Long.MaxValue, Long.MinValue, 0L, 0L, 0L, 0L)
       }
       val json =
-        s"""{"bucket":${m.bucket},"cellMin":${m.cellMin},"cellMax":${m.cellMax},
+        s"""{"epoch":${m.epoch},"bucket":${m.bucket},"cellMin":${m.cellMin},"cellMax":${m.cellMax},
            |"rowCount":${m.rowCount},"phashDigest":${m.phashDigest},
            |"nPixelsOk":${m.nPixelsOk},"nCaptionsOk":${m.nCaptionsOk}}""".stripMargin.replace("\n", "")
-      val tmp = Paths.get(s"$outDir/_commits/.bucket-$b.json.tmp")
+      val tmp = Paths.get(s"$outDir/_commits/epoch-$epoch/.bucket-$b.json.tmp")
       Files.writeString(tmp, json)
-      Files.move(tmp, manifestPath(outDir, b), StandardCopyOption.ATOMIC_MOVE)
+      Files.move(tmp, manifestPath(outDir, epoch, b), StandardCopyOption.ATOMIC_MOVE)
       m
     }
   }

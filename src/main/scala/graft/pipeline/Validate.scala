@@ -90,6 +90,24 @@ object Validate {
     if (mse == 0.0) Double.PositiveInfinity else 10.0 * math.log10(255.0 * 255.0 / mse)
   }
 
+  /** One row's full validation verdict (decode + re-render + PSNR compare +
+    * caption/phash equality) — the per-row kernel shared by [[verdicts]] and
+    * Checkpoint.runEpoch's single grouped manifest pass. Runs entirely inside
+    * the partition that holds the bytes. */
+  def verdictOf(id: String, bytes: Array[Byte], fmt: String,
+                caption: String, phash: Long): Verdict = {
+    val i = id.stripPrefix("img").toLong
+    val seed = ImageSynth.seedOf(i)
+    val decoded = decode(bytes, fmt)
+    val reference = ImageSynth.render(seed, decoded.getWidth, decoded.getHeight)
+    val p = psnr(decoded, reference)
+    val pixelsOk = if (fmt == "png") p.isPosInfinity else p >= JpgPsnrFloor
+    val (uid, team, day, _, _) = ImageSynth.metaOf(seed)
+    val expectCaption = ImageSynth.captionOf(seed, uid, team, day)
+    Verdict(id, fmt, if (p.isPosInfinity) 99.0 else p,
+      pixelsOk, caption == expectCaption, phash == ImageSynth.phashOf(reference))
+  }
+
   /** Validate a stored image table (must carry image_id, bytes, w, h, fmt,
     * caption, phash). Returns one Verdict per row. */
   def verdicts(rows: DataFrame): Dataset[Verdict] = {
@@ -97,20 +115,9 @@ object Validate {
     import spark.implicits._
     rows.select(col("image_id"), col("bytes"), col("fmt"), col("caption"), col("phash"))
       .as[(String, Array[Byte], String, String, Long)]
-      .mapPartitions { it =>
-        it.map { case (id, bytes, fmt, caption, phash) =>
-          val i = id.stripPrefix("img").toLong
-          val seed = ImageSynth.seedOf(i)
-          val decoded = decode(bytes, fmt)
-          val reference = ImageSynth.render(seed, decoded.getWidth, decoded.getHeight)
-          val p = psnr(decoded, reference)
-          val pixelsOk = if (fmt == "png") p.isPosInfinity else p >= JpgPsnrFloor
-          val (uid, team, day, _, _) = ImageSynth.metaOf(seed)
-          val expectCaption = ImageSynth.captionOf(seed, uid, team, day)
-          Verdict(id, fmt, if (p.isPosInfinity) 99.0 else p,
-            pixelsOk, caption == expectCaption, phash == ImageSynth.phashOf(reference))
-        }
-      }
+      .mapPartitions(_.map { case (id, bytes, fmt, caption, phash) =>
+        verdictOf(id, bytes, fmt, caption, phash)
+      })
   }
 
   /** Aggregate validation summary (the gate-facing shape). The per-format

@@ -39,6 +39,68 @@ class CheckpointSpec extends AnyFunSuite {
       assert(m.nPixelsOk == m.rowCount && m.nCaptionsOk == m.rowCount, m.toString)
     }
   }
+
+  test("append: two incremental epoch runs == one-shot batch over the union") {
+    val dirI = "/tmp/ckpt_spec_incr"; val dirO = "/tmp/ckpt_spec_oneshot"
+    rmrf(dirI); rmrf(dirO)
+    val n0 = 400L; val n1 = 600L; val buckets = 4
+    // epoch 0 commits, then the input GROWS: epoch 1 arrives
+    val e0 = Checkpoint.runEpoch(spark, 0, 0L, n0, dirI, buckets, parts = 4)
+    val e1 = Checkpoint.runEpoch(spark, 1, n0, n1, dirI, buckets, parts = 4)
+    assert(e0.size == buckets && e1.size == buckets)
+    // idempotence: re-running either epoch is a no-op
+    assert(Checkpoint.runEpoch(spark, 0, 0L, n0, dirI, buckets, parts = 4).isEmpty)
+    assert(Checkpoint.runEpoch(spark, 1, n0, n1, dirI, buckets, parts = 4).isEmpty)
+    // the round-4 failure mode this design closes: appended rows landing in
+    // already-committed buckets were silently dropped. Per-bucket lineage of
+    // the two epochs must compose to the one-shot batch: rowCounts add, phash
+    // digests xor (xor is associative and order-free over the same row set)
+    val oneShot = Checkpoint.runEpoch(spark, 0, 0L, n1, dirO, buckets, parts = 4)
+    val incr = (e0 ++ e1).groupBy(_.bucket).map { case (b, ms) =>
+      b -> (ms.map(_.rowCount).sum, ms.map(_.phashDigest).reduce(_ ^ _))
+    }
+    val one = oneShot.map(m => m.bucket -> (m.rowCount, m.phashDigest)).toMap
+    assert(incr == one, s"incremental $incr != one-shot $one")
+    assert(incr.values.map(_._1).sum == n1)
+    // and the committed BYTES agree: the union of both epochs' data files
+    // holds exactly the one-shot row set
+    val rowsI = spark.read.parquet(s"$dirI/data")
+      .select("image_id", "phash").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val rowsO = spark.read.parquet(s"$dirO/data")
+      .select("image_id", "phash").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rowsI == rowsO && rowsI.size == n1)
+    // epoch-scoped snapshot covers both epochs
+    val snap = Checkpoint.writeSnapshot(dirI, buckets, epochs = 2)
+    assert(snap.isDefined && snap.get.contains("\"rowCount\":600"))
+  }
+
+  test("manifest derivation is ONE grouped action, not a per-bucket driver loop") {
+    val dir = "/tmp/ckpt_spec_onejob"
+    rmrf(dir)
+    val names = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      def onSuccess(funcName: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                    durationNs: Long): Unit = names.add(funcName)
+      def onFailure(funcName: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                    exception: Exception): Unit = names.add("FAIL:" + funcName)
+    }
+    spark.listenerManager.register(listener)
+    try {
+      Checkpoint.run(spark, 600L, dir, buckets = 6, parts = 4)
+      var last = -1; var stable = 0; var waited = 0
+      while (stable < 4 && waited < 5000) {
+        Thread.sleep(50); waited += 50
+        val cur = names.size()
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+      }
+      val evs = names.toArray(Array.empty[String]).toSeq
+      // exactly one write action + ONE stats collect for all 6 buckets; the
+      // round-4 shape issued 2 head() actions per bucket (12 extra events)
+      assert(evs.count(_ == "collect") == 1,
+        s"expected ONE grouped stats action, saw $evs")
+      assert(evs.size <= 2, s"expected write + 1 stats action, saw $evs")
+    } finally spark.listenerManager.unregister(listener)
+  }
 }
 
 class SkewSpec extends AnyFunSuite {
