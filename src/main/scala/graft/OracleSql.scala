@@ -601,6 +601,33 @@ object OracleSql {
        |SELECT a, b, floor(c * 10000.0 + 0.5)::BIGINT AS cos_e4 FROM p WHERE c >= $minCos""".stripMargin
   }
 
+  /** Replica oracle for q65 (ANN LSH near-dup tier on the planted corpus):
+    * rebuilds graft.ann.Ann.plantedNearDupVecs component-for-component —
+    * splitmix64 of the same inputs, top-53-bit uniform `(h >> 11)/2^52 − 1`,
+    * `base + eps·noise` in the same operation order — then computes ALL
+    * pairs with exact cosine ≥ threshold (the q44 left-to-right dot). The
+    * engine runs the LSH TIER under production defaults against this exact
+    * relation, so a hash match proves tier recall is exactly 1.0 AND that
+    * the bucketed path's verify kernel is FP-bit-identical to exact. */
+  def q65(n: Int, minCos: Double, dim: Int = 64, groupSize: Int = 3,
+          eps: Double = 0.01): String = {
+    def dot(a: String, b: String) =
+      s"list_reduce(list_transform(range(1, ${dim + 1}), i -> ($a)[i] * ($b)[i]), (x, y) -> x + y)"
+    def unit(h: String) = s"((($h) >> 11)::DOUBLE / 4503599627370496.0 - 1.0)"
+    s"""WITH ids AS (SELECT unnest(range(0, $n)) AS idx),
+       |dims AS (SELECT unnest(range(0, $dim)) AS i),
+       |hashed AS (SELECT idx, i,
+       |    ${mix(s"((idx // $groupSize) * $dim + i + 10000000)::UBIGINT")} AS hb,
+       |    ${mix(s"(idx * $dim + i + 20000000)::UBIGINT")} AS hn
+       |  FROM ids CROSS JOIN dims),
+       |comp AS (SELECT idx, i, ${unit("hb")} + $eps * ${unit("hn")} AS c FROM hashed),
+       |v AS (SELECT idx AS vec_id, list(c ORDER BY i) AS e FROM comp GROUP BY 1),
+       |p AS (SELECT l.vec_id AS a, r.vec_id AS b,
+       |        ${dot("l.e", "r.e")} / (sqrt(${dot("l.e", "l.e")}) * sqrt(${dot("r.e", "r.e")})) AS c
+       |      FROM v l JOIN v r ON l.vec_id < r.vec_id)
+       |SELECT a, b, floor(c * 10000.0 + 0.5)::BIGINT AS cos_e4 FROM p WHERE c >= $minCos""".stripMargin
+  }
+
   /** graft.text.Dedup.simhash64 over the `documents` table → CTE text
     * defining `sim(doc_id, sh)` (sh as UBIGINT; bit-identical to the Scala
     * signed long). */

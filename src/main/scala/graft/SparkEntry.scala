@@ -92,6 +92,13 @@ object SparkEntry {
     // embeddings table (block-pair partitioned all-pairs; the LSH prefilter
     // tier and when it applies are documented in Ann.cosineNearDupPairs)
     "q44_embed_neardup" -> ((s: SparkSession, d: String) => Ann.cosineNearDupPairs(s, d)),
+    // the LSH near-dup TIER — the documented scale path of q44 — under
+    // PRODUCTION defaults (64-bit sigs, 8x8-bit bands, hot-bucket cap 64) on
+    // the planted corpus where θ=0.95 gives LSH certifiable recall; the
+    // oracle is exact all-pairs cosine over the replicated corpus, so the
+    // hash proves tier == exact (recall 1.0 through the bucketed path)
+    "q65_ann_neardup_lsh_tier" -> ((s: SparkSession, _: String) =>
+      Ann.cosineNearDupLshTier(Ann.plantedNearDupVecs(s, 900), minCos = 0.95)),
     // image pipeline (north_rule flagship; input synthesized deterministically)
     "q32_image_tile_pivot" -> ((s: SparkSession, _: String) => ImagePipeline.run(s, 2000L, 16)),
     // the same rollup with teams DISCOVERED dynamically via pivot() over the
@@ -589,6 +596,7 @@ object SparkEntry {
     // constants, signatures, banding, dedup, exact rerank) — see OracleSql.q31
     "q31_ann_lsh" -> OracleSql.q31(graft.ann.Ann.hyperplanes(16, 64)),
     "q44_embed_neardup" -> OracleSql.q44(0.45),
+    "q65_ann_neardup_lsh_tier" -> OracleSql.q65(900, 0.95),
     // sketch queries verified by a REAL oracle: OracleSql reproduces the
     // engine's from-scratch 64-bit hashing (FNV-1a, rotl, splitmix64) in
     // DuckDB via wrap-around 32-bit-half multiplication

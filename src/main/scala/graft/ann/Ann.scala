@@ -227,6 +227,37 @@ object Ann {
     }.toDF("a", "b", "cos_e4")
   }
 
+  /** Deterministic planted near-dup corpus for gating the LSH tier: ids
+    * group in runs of `groupSize`; members of a group share a splitmix-drawn
+    * base vector plus a per-member eps-scaled perturbation, so within-group
+    * cosines sit at ~0.9999 (≥ any dedup threshold) while cross-group
+    * cosines are those of independent 64-dim uniform vectors (|cos| rarely
+    * above ~0.5) — a corpus where LSH at θ=0.95 has CERTIFIABLE recall,
+    * unlike the embeddings table whose qualifying pairs hug the threshold
+    * (Ann.cosineNearDupPairs doc). Every arithmetic step (splitmix64, the
+    * top-53-bit uniform, base + eps·noise) is replicated operation-for-
+    * operation in the DuckDB oracle (OracleSql.q65), so the gate hashes the
+    * tier's full output relation. */
+  def plantedNearDupVecs(spark: SparkSession, n: Int, dim: Int = 64,
+                         groupSize: Int = 3, eps: Double = 0.01): DataFrame = {
+    import spark.implicits._
+    val d = dim; val gs = groupSize; val e = eps
+    spark.range(0L, n.toLong, 1L, 8).map { idx =>
+      val g = idx / gs
+      val v = Array.tabulate(d) { i =>
+        val b = unitUniform(graft.synth.ImageSynth.mix(g * d + i + 10000000L))
+        val nz = unitUniform(graft.synth.ImageSynth.mix(idx * d + i + 20000000L))
+        b + e * nz
+      }
+      (idx, v)
+    }.toDF("vec_id", "v")
+  }
+
+  /** Uniform in [-1, 1) from the top 53 bits of a 64-bit hash (the
+    * hyperplanes construction, shared with the q65 corpus). */
+  private def unitUniform(h: Long): Double =
+    (h >>> 11).toDouble / (1L << 52).toDouble - 1.0
+
   /** IVF (inverted-file) ANN — the coarse-quantizer scale path the brief
     * names alongside LSH: deterministic Lloyd-refined centroids over
     * normalized vectors, every vector assigned to its nearest-by-cosine
