@@ -272,8 +272,8 @@ object OracleSql {
        |FROM m),
        |tl AS (SELECT *,
        |  least(4095, greatest(0, CAST(trunc((lon + 180.0) / 360.0 * 4096.0) AS BIGINT)))::BIGINT AS tx,
-       |  least(4095, greatest(0, CAST(floor((1.0 - ln(tan(greatest(-85.05112878, least(85.05112878, lat)) / 180.0 * pi())
-       |     + 1.0 / cos(greatest(-85.05112878, least(85.05112878, lat)) / 180.0 * pi())) / pi()) / 2.0 * 4096.0) AS BIGINT)))::BIGINT AS ty
+       |  least(4095, greatest(0, CAST(floor((1.0 - 0.5 * ln((1.0 + sin(greatest(-85.05112878, least(85.05112878, lat)) / 180.0 * pi()))
+       |     / (1.0 - sin(greatest(-85.05112878, least(85.05112878, lat)) / 180.0 * pi()))) / pi()) / 2.0 * 4096.0) AS BIGINT)))::BIGINT AS ty
        |FROM pt),
        |pj AS (SELECT *,
        |  12::BIGINT * 288230376151711744 + tx * 536870912 + ty AS tile,

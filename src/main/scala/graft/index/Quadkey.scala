@@ -26,11 +26,21 @@ object Quadkey {
     math.min(n - 1, math.max(0L, x)).toInt
   }
 
-  /** lon/lat -> tile y at zoom z (web mercator). */
+  /** lon/lat -> tile y at zoom z (web mercator).
+    *
+    * The Gudermannian term uses `atanh(sinφ) = 0.5·ln((1+sinφ)/(1−sinφ))`
+    * — 2 transcendentals — instead of the textbook `ln(tanφ + 1/cosφ)` — 3.
+    * Identical mathematically; in FP the two differ by final ulps, so the
+    * DuckDB oracle replica (OracleSql.pipelineCtes) uses the SAME form, and
+    * a 2M-sample Java-vs-DuckDB sweep (graft.MercParity +
+    * tools/merc_parity.py) measured ZERO tile-level disagreements (max raw
+    * deviation 5.5e-12 tile units; only floor(ty) is ever consumed). This is
+    * the hot-scan transcendental cut deferred in round 4. */
   def tileY(lat: Double, z: Int): Int = {
     val n = 1L << z
     val latRad = math.toRadians(clampLat(lat))
-    val y = ((1.0 - math.log(math.tan(latRad) + 1.0 / math.cos(latRad)) / math.Pi) / 2.0 * n).toLong
+    val s = math.sin(latRad)
+    val y = ((1.0 - 0.5 * math.log((1.0 + s) / (1.0 - s)) / math.Pi) / 2.0 * n).toLong
     math.min(n - 1, math.max(0L, y)).toInt
   }
 
@@ -107,12 +117,16 @@ object Quadkey {
       floor((lon + lit(180.0)) / lit(360.0) * lit(n.toDouble)).cast("long"))).cast("int")
   }
 
-  /** Tile y as a pure Column expression. */
+  /** Tile y as a pure Column expression — same atanh(sinφ) form as the
+    * scalar [[tileY]] (the two must assign identical tiles or the coarse
+    * prefilter ranges built from the scalar could drop boundary rows). The
+    * repeated `sin(latRad)` subtree is shared by whole-stage codegen's
+    * subexpression elimination: one sin + one log per row. */
   def tileYCol(lat: Column, z: Int): Column = {
     val n = 1L << z
     val latC = greatest(lit(-MaxLat), least(lit(MaxLat), lat))
-    val latRad = radians(latC)
-    val yRaw = (lit(1.0) - log(tan(latRad) + lit(1.0) / cos(latRad)) / lit(math.Pi)) / lit(2.0) * lit(n.toDouble)
+    val s = sin(radians(latC))
+    val yRaw = (lit(1.0) - lit(0.5) * log((lit(1.0) + s) / (lit(1.0) - s)) / lit(math.Pi)) / lit(2.0) * lit(n.toDouble)
     least(lit(n - 1), greatest(lit(0L), floor(yRaw).cast("long"))).cast("int")
   }
 
