@@ -153,6 +153,29 @@ object Checkpoint {
         "n_pixels_ok", "n_captions_ok")
   }
 
+  /** Structured-Streaming face of the epoch-checkpointed layout: a file
+    * stream over `data/` whose partition discovery yields (epoch, bucket)
+    * columns. With `Trigger.AvailableNow` + a query checkpointLocation this
+    * is the push-button incremental consumer of the append-only table —
+    * each invocation processes exactly the files committed since the last
+    * one (the source's seen-files log plays the same role downstream that
+    * the (epoch, bucket) manifests play at ingest), then terminates like a
+    * batch job. The reference's "continually adding new weekly/monthly
+    * changesets" loop (changesets/README.md:47) is this shape. */
+  def epochStream(spark: SparkSession, outDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("image_id", StringType), StructField("bytes", BinaryType),
+      StructField("w", IntegerType), StructField("h", IntegerType),
+      StructField("fmt", StringType), StructField("caption", StringType),
+      StructField("phash", LongType),
+      StructField("epoch", IntegerType), StructField("bucket", IntegerType)))
+    spark.readStream.schema(schema)
+      .option("basePath", s"$outDir/data")
+      .parquet(s"$outDir/data")
+      .select(col("epoch"), col("bucket"), col("image_id"), col("phash"))
+  }
+
   /** Diagnostic: id-range rows scanned by the LAST run's synthesis pass —
     * the spec asserts the range is scanned ONCE regardless of bucket count
     * (the round-1 design re-filtered the full range once per bucket). */

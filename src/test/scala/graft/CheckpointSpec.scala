@@ -74,6 +74,32 @@ class CheckpointSpec extends AnyFunSuite {
     assert(snap.isDefined && snap.get.contains("\"rowCount\":600"))
   }
 
+  test("Trigger.AvailableNow over the epoch layout ingests exactly the newly appended epoch") {
+    val dir = "/tmp/ckpt_spec_stream"; val ck = "/tmp/ckpt_spec_stream_ck"
+    rmrf(dir); rmrf(ck)
+    Checkpoint.runEpoch(spark, 0, 0L, 300L, dir, buckets = 4, parts = 4)
+    def runOnce(): (Map[Int, Long], Long) = {
+      val q = Checkpoint.epochStream(spark, dir)
+        .groupBy(col("epoch")).agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName("epoch_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val read = q.recentProgress.map(_.numInputRows).sum
+      (spark.table("epoch_counts").collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap, read)
+    }
+    val (c1, in1) = runOnce()
+    assert(c1 == Map(0 -> 300L) && in1 == 300L)
+    // the input GROWS: epoch 1 commits through the batch ingest path
+    Checkpoint.runEpoch(spark, 1, 300L, 500L, dir, buckets = 4, parts = 4)
+    val (c2, in2) = runOnce()
+    // cumulative state is correct AND only the new epoch's files were read
+    assert(c2 == Map(0 -> 300L, 1 -> 200L), s"got $c2")
+    assert(in2 == 200L, s"second run re-read old files: $in2 input rows")
+  }
+
   test("manifest derivation is ONE grouped action, not a per-bucket driver loop") {
     val dir = "/tmp/ckpt_spec_onejob"
     rmrf(dir)
