@@ -356,6 +356,72 @@ object Dedup {
     rollup
   }
 
+  /** Connected components via alternating large-star/small-star — the
+    * round-halving refinement [[dupComponents]] documents (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14): hash-min
+    * label propagation needs a round per hop of graph diameter, while the
+    * star operations contract the graph toward per-component stars in
+    * O(log²) rounds — the difference between 200 shuffles and ~8 on a
+    * 200-edge path. Near-dup graphs are dense (diameter 2-3), so q63 stays
+    * on hash-min with its analytic oracle; this variant exists for
+    * adversarial long-chain inputs, is property-tested against hash-min on
+    * random graphs, and converges comfortably where hash-min's diameter
+    * refusal trips (DupComponentsSpec).
+    *
+    *  - large-star: every node connects its strictly-larger neighbors to
+    *    the minimum of its closed neighborhood;
+    *  - small-star: every node connects its smaller-or-equal neighbors
+    *    (and itself) to that minimum.
+    *
+    * Both emit canonical (lo < hi) edges, each round is two
+    * groupBy-min + join shuffles, per-round frames are localCheckpoint'd
+    * and freed like the hash-min loop. Fixpoint = the edge set is stable,
+    * at which point edges ARE the component stars. */
+  def dupComponentsStars(pairs: DataFrame, maxRounds: Int = 64): DataFrame = {
+    var edges = pairs
+      .select(least(col("a"), col("b")).as("lo"), greatest(col("a"), col("b")).as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct().localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      // LARGE-STAR: m(u) = min over Γ(u) ∪ {u}; emit (m, v) for v ∈ Γ(u), v > u.
+      // m ≤ u < v keeps edges canonical by construction.
+      val adj = edges.select(col("lo").as("u"), col("hi").as("v"))
+        .unionByName(edges.select(col("hi").as("u"), col("lo").as("v")))
+      val mins = adj.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = adj.join(mins, Seq("u")).filter(col("v") > col("u"))
+        .select(col("m").as("lo"), col("v").as("hi")).distinct().localCheckpoint()
+      // SMALL-STAR over the large-star output: direct each edge to its
+      // larger endpoint u with smaller neighbor set N(u); m = min(N(u));
+      // emit (m, v) for v ∈ N(u) ∪ {u}, v ≠ m (m < v keeps it canonical)
+      val dir = ls.select(col("hi").as("u"), col("lo").as("v"))
+      val mins2 = dir.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      val ss = dir.join(mins2, Seq("u")).filter(col("v") =!= col("mn"))
+        .select(col("mn").as("lo"), col("v").as("hi"))
+        .unionByName(mins2.select(col("mn").as("lo"), col("u").as("hi")))
+        .distinct().localCheckpoint()
+      graft.CacheOps.freeLocalCheckpoint(ls)
+      // fixpoint test: edge sets equal (both directions of except; each is
+      // one action — this is the non-gated variant, so the two-action probe
+      // is acceptable where dupComponents uses its in-job accumulator)
+      converged = ss.exceptAll(edges).isEmpty && edges.exceptAll(ss).isEmpty
+      graft.CacheOps.freeLocalCheckpoint(edges)
+      edges = ss
+      rounds += 1
+    }
+    require(converged,
+      s"dupComponentsStars did not converge within $maxRounds rounds")
+    // at fixpoint the edges are component stars: lo = component minimum
+    val rollup = edges.groupBy(col("lo"))
+      .agg((count(lit(1)) + lit(1L)).as("n_docs"),
+        greatest(max(col("hi")), first(col("lo"))).as("max_doc"))
+      .select(col("lo").as("component"), col("n_docs"), col("max_doc"))
+      .localCheckpoint()
+    graft.CacheOps.freeLocalCheckpoint(edges)
+    rollup
+  }
+
   /** n-gram Jaccard near-dup, exact (the verification-grade variant):
     * explode distinct shingles, DROP shingles with document frequency >
     * `maxDf` (standard near-dup practice — one hot boilerplate shingle

@@ -86,4 +86,30 @@ class DupComponentsSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("did not converge"))
   }
+
+  test("large/small-star converges on a 200-edge path where hash-min's cap refuses") {
+    // hash-min needs diameter+1 = 201 rounds here (cap 64 would refuse);
+    // the star contraction lands the same single component in O(log²) rounds
+    val out = Dedup.dupComponentsStars(pathPairs(200), maxRounds = 64).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ==
+      Set((0L, 201L, 200L)))
+  }
+
+  test("large/small-star equals hash-min on random graphs (property)") {
+    import spark.implicits._
+    val rng = new Prop.Rng(77)
+    for (trial <- 1 to 8) {
+      val nVerts = rng.int(20, 80)
+      val nEdges = rng.int(10, 90)
+      val pairs = (0 until nEdges).map { _ =>
+        val a = rng.int(0, nVerts - 1).toLong; val b = rng.int(0, nVerts - 1).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).toDF("a", "b")
+      val viaStars = Dedup.dupComponentsStars(pairs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val viaHashMin = Dedup.dupComponents(pairs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(viaStars == viaHashMin, s"trial $trial: $viaStars != $viaHashMin")
+    }
+  }
 }
