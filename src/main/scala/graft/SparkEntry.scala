@@ -97,8 +97,13 @@ object SparkEntry {
     // the planted corpus where θ=0.95 gives LSH certifiable recall; the
     // oracle is exact all-pairs cosine over the replicated corpus, so the
     // hash proves tier == exact (recall 1.0 through the bucketed path)
+    // the ~460 KB planted corpus is materialized once: the tier consumes it
+    // three times (banding + both sides of the vector join-back), and
+    // re-running the generator through every consumer tripled the plan and
+    // dominated the gate's wall time (8.2 s -> see PLANS.md r5)
     "q65_ann_neardup_lsh_tier" -> ((s: SparkSession, _: String) =>
-      Ann.cosineNearDupLshTier(Ann.plantedNearDupVecs(s, 900), minCos = 0.95)),
+      Ann.cosineNearDupLshTier(Ann.plantedNearDupVecs(s, 900).localCheckpoint(),
+        minCos = 0.95)),
     // image pipeline (north_rule flagship; input synthesized deterministically)
     "q32_image_tile_pivot" -> ((s: SparkSession, _: String) => ImagePipeline.run(s, 2000L, 16)),
     // the same rollup with teams DISCOVERED dynamically via pivot() over the
