@@ -628,6 +628,33 @@ object OracleSql {
        |SELECT a, b, floor(c * 10000.0 + 0.5)::BIGINT AS cos_e4 FROM p WHERE c >= $minCos""".stripMargin
   }
 
+  /** Replica oracle for q66 (int8 scalar-quantized ANN): replays the SQ8
+    * tier mechanically — per-vector lo/hi, `floor((x−lo)·255/(hi−lo)+0.5)`
+    * codes, `lo + code·step` reconstruction, and cosine of the full-
+    * precision query against the reconstruction with the q44 left-to-right
+    * reductions — so rank-for-rank agreement proves quantization,
+    * reconstruction and scoring end to end. (Recall vs the un-quantized
+    * answer is pinned separately in AnnSpec: information loss is a quality
+    * metric, not an oracle question.) */
+  def q66(q: Int = 5, k: Int = 10): String = {
+    def dot(a: String, b: String) =
+      s"list_reduce(list_transform(range(1, 65), i -> ($a)[i] * ($b)[i]), (x, y) -> x + y)"
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |b AS (SELECT vec_id, e, list_min(e) AS lo, list_max(e) AS hi FROM v),
+       |c AS (SELECT vec_id, lo, (hi - lo) / 255.0 AS step,
+       |        CASE WHEN hi > lo
+       |          THEN list_transform(range(1, 65), i -> floor((e[i] - lo) * 255.0 / (hi - lo) + 0.5))
+       |          ELSE list_transform(range(1, 65), i -> 0.0) END AS code
+       |      FROM b),
+       |r AS (SELECT vec_id, list_transform(range(1, 65), i -> lo + code[i] * step) AS rl FROM c),
+       |qs AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < $q),
+       |sc AS (SELECT qs.qid, r.vec_id,
+       |        ${dot("qs.qe", "r.rl")} / (sqrt(${dot("qs.qe", "qs.qe")}) * sqrt(${dot("r.rl", "r.rl")})) AS cos
+       |      FROM r CROSS JOIN qs),
+       |rk AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM sc)
+       |SELECT qid, vec_id, rank::INT AS rank FROM rk WHERE rank <= $k""".stripMargin
+  }
+
   /** graft.text.Dedup.simhash64 over the `documents` table → CTE text
     * defining `sim(doc_id, sh)` (sh as UBIGINT; bit-identical to the Scala
     * signed long). */

@@ -92,6 +92,10 @@ object SparkEntry {
     // embeddings table (block-pair partitioned all-pairs; the LSH prefilter
     // tier and when it applies are documented in Ann.cosineNearDupPairs)
     "q44_embed_neardup" -> ((s: SparkSession, d: String) => Ann.cosineNearDupPairs(s, d)),
+    // int8 scalar-quantized exhaustive top-k (the SQ8 memory tier: 64 bytes
+    // + 2 doubles per stored vector); the oracle replays quantization,
+    // reconstruction and scoring, AnnSpec pins recall vs full precision
+    "q66_ann_sq8" -> ((s: SparkSession, d: String) => Ann.sqTopK(s, d)),
     // the LSH near-dup TIER — the documented scale path of q44 — under
     // PRODUCTION defaults (64-bit sigs, 8x8-bit bands, hot-bucket cap 64) on
     // the planted corpus where θ=0.95 gives LSH certifiable recall; the
@@ -601,6 +605,7 @@ object SparkEntry {
     // constants, signatures, banding, dedup, exact rerank) — see OracleSql.q31
     "q31_ann_lsh" -> OracleSql.q31(graft.ann.Ann.hyperplanes(16, 64)),
     "q44_embed_neardup" -> OracleSql.q44(0.45),
+    "q66_ann_sq8" -> OracleSql.q66(),
     "q65_ann_neardup_lsh_tier" -> OracleSql.q65(900, 0.95),
     // sketch queries verified by a REAL oracle: OracleSql reproduces the
     // engine's from-scratch 64-bit hashing (FNV-1a, rotl, splitmix64) in

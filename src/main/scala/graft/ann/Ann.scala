@@ -227,6 +227,80 @@ object Ann {
     }.toDF("a", "b", "cos_e4")
   }
 
+  /** Per-vector int8 scalar quantization (the SQ8 memory tier): 64 doubles
+    * (512 B) become 64 bytes + 2 doubles — ~7× smaller resident index, the
+    * standard first memory lever before IVF/PQ at 10^12 vectors. The code
+    * for component x is `floor((x − lo)·255/(hi − lo) + 0.5)` (floor(+0.5),
+    * never Math.round/SQL round, whose half-even ties differ across
+    * engines); reconstruction is `lo + code·step`, step = (hi−lo)/255.
+    * Every op is replicated in the q66 oracle, so scores are FP-bit
+    * comparable. */
+  def sqQuantize(v: Array[Double]): (Double, Double, Array[Byte]) = {
+    var lo = v(0); var hi = v(0); var i = 1
+    while (i < v.length) { if (v(i) < lo) lo = v(i); if (v(i) > hi) hi = v(i); i += 1 }
+    val codes = new Array[Byte](v.length)
+    if (hi > lo) {
+      i = 0
+      while (i < v.length) {
+        codes(i) = (math.floor((v(i) - lo) * 255.0 / (hi - lo) + 0.5).toInt - 128).toByte
+        i += 1
+      }
+    } else java.util.Arrays.fill(codes, (-128).toByte) // constant vector: all code 0
+    (lo, (hi - lo) / 255.0, codes)
+  }
+
+  /** Exhaustive top-k over the QUANTIZED index — queries stay full
+    * precision, every stored vector is scored through its int8
+    * reconstruction (`lo + code·step`), cosine built from the same
+    * left-to-right loops as [[bruteTopK]]. Shape: quantization happens in
+    * the partition that read the vector (in production the SQ index is what
+    * persists — bytes, not doubles), scoring is per-partition bounded heaps,
+    * only Q·k candidate rows shuffle. The q66 gate replays quantization +
+    * reconstruction + scoring in DuckDB, so rank-for-rank agreement proves
+    * the whole tier; AnnSpec separately pins recall@k against the
+    * full-precision brute answer (quantization loses information — the
+    * RECALL is the honest quality metric, the gate pins the mechanics). */
+  def sqTopK(spark: SparkSession, dir: String, q: Int = 5, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val queries = queriesFrom(spark, dir, q)
+    val bc = spark.sparkContext.broadcast(queries.toArray)
+    val kk = k
+    val partial = loadVecs(spark, dir).as[(Long, Array[Double])].mapPartitions { it =>
+      val qs = bc.value
+      val qn = qs.map(qq => math.sqrt(dot(qq.vec, qq.vec)))
+      val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
+      val heaps = Array.fill(qs.length)(
+        scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord))
+      it.foreach { case (id, v) =>
+        val (lo, step, codes) = sqQuantize(v)
+        var qi = 0
+        while (qi < qs.length) {
+          val qv = qs(qi).vec
+          var s = 0.0; var rr = 0.0; var i = 0
+          while (i < codes.length) {
+            val r = lo + (codes(i) + 128).toDouble * step
+            s += qv(i) * r; rr += r * r
+            i += 1
+          }
+          val c = s / (qn(qi) * math.sqrt(rr))
+          val key = (-c, id)
+          val h = heaps(qi)
+          if (h.size < kk) h.enqueue(key)
+          else if (ord.lt(key, h.head)) { h.dequeue(); h.enqueue(key) }
+          qi += 1
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, i) =>
+        h.iterator.map { case (nc, id) => (qs(i).qid, id, nc) }
+      }
+    }.toDF("qid", "vec_id", "neg_cos")
+    partial.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("neg_cos"), col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("rank"))
+  }
+
   /** Deterministic planted near-dup corpus for gating the LSH tier: ids
     * group in runs of `groupSize`; members of a group share a splitmix-drawn
     * base vector plus a per-member eps-scaled perturbation, so within-group

@@ -111,3 +111,48 @@ class AnnSpec extends AnyFunSuite {
     assert(nearSame > farSame + n, s"near=$nearSame far=$farSame")
   }
 }
+
+/** SQ8 scalar-quantization tier: mechanics bound + honest quality metric
+  * (the q66 gate pins the mechanics against DuckDB; recall vs full
+  * precision is what quantization actually costs). */
+class SqSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import graft.ann.Ann
+
+  test("SQ8 roundtrip error is bounded by step/2 per component") {
+    val rng = new Prop.Rng(5)
+    for (_ <- 1 to 50) {
+      val v = Array.fill(64)(rng.double(-2, 2))
+      val (lo, step, codes) = Ann.sqQuantize(v)
+      v.indices.foreach { i =>
+        val r = lo + (codes(i) + 128).toDouble * step
+        assert(math.abs(r - v(i)) <= step / 2 + 1e-12,
+          s"component $i: ${v(i)} reconstructed $r (step $step)")
+      }
+    }
+  }
+
+  test("SQ8 constant vector quantizes to all-zero codes, reconstructs exactly") {
+    val (lo, step, codes) = Ann.sqQuantize(Array.fill(16)(3.25))
+    assert(lo == 3.25 && step == 0.0 && codes.forall(_ == -128))
+  }
+
+  test("SQ8 top-k recall vs full-precision brute force") {
+    import spark.implicits._
+    val dir = "/tmp/sq_spec_dir"
+    graft.pipeline.Checkpoint.deleteRecursively(java.nio.file.Paths.get(dir))
+    val rng = new Prop.Rng(11)
+    val rows = (0L until 500L).map(i => (i, Array.fill(64)(rng.double(-1, 1).toFloat)))
+    rows.toDF("vec_id", "embedding").write.parquet(s"$dir/embeddings.parquet")
+    val brute = Ann.bruteTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val sq = Ann.sqTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    brute.foreach { case (qid, hits) =>
+      val b = hits.map(_._2).toSet
+      val s = sq.getOrElse(qid, Array.empty[(Long, Long)]).map(_._2).toSet
+      val recall = (b intersect s).size.toDouble / b.size
+      assert(recall >= 0.8, s"qid $qid recall $recall (brute $b vs sq $s)")
+    }
+  }
+}
