@@ -75,6 +75,11 @@ object SparkEntry {
     // pipeline, vs DuckDB's recursive-CTE transitive closure
     "q63_dup_components" -> ((s: SparkSession, d: String) =>
       Dedup.dupComponents(Dedup.minhashLsh(s, d, maxBucket = Int.MaxValue))),
+    // the SAME components through the large/small-star contraction (the
+    // long-chain scale path): third independent algorithm family against
+    // the same recursive-CTE closure oracle
+    "q67_dup_components_stars" -> ((s: SparkSession, d: String) =>
+      Dedup.dupComponentsStars(Dedup.minhashLsh(s, d, maxBucket = Int.MaxValue))),
     "q29_fingerprint" -> (TextOps.fingerprints _),
     // per-language exact quality percentiles (pretraining filter thresholds)
     "q51_quality_percentiles" -> (TextOps.qualityPercentiles _),
@@ -309,6 +314,22 @@ object SparkEntry {
            floor(i.common * 10000.0 / (na.n_sh + nb.n_sh - i.common))::BIGINT AS j_bp
          FROM inter i JOIN n na ON i.a=na.doc_id JOIN n nb ON i.b=nb.doc_id
          WHERE floor(i.common * 10000.0 / (na.n_sh + nb.n_sh - i.common)) >= 5000"""
+
+  /** DuckDB recursive-CTE transitive closure over the exact minhash pair
+    * graph — the components oracle shared by q63 (hash-min) and q67
+    * (large/small-star), which must be the same relation by definition. */
+  private val dupComponentsClosureOracle =
+    s"""WITH RECURSIVE pairs AS ($minhashAllPairsOracle),
+       e AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs),
+       verts AS (SELECT DISTINCT u AS doc_id FROM e),
+       reach(doc_id, r) AS (
+         SELECT doc_id, doc_id FROM verts
+         UNION
+         SELECT e.u, reach.r FROM e JOIN reach ON reach.doc_id = e.v
+       ),
+       lab AS (SELECT doc_id, min(r) AS label FROM reach GROUP BY 1)
+       SELECT label AS component, count(*)::BIGINT AS n_docs, max(doc_id)::BIGINT AS max_doc
+       FROM lab GROUP BY 1"""
 
   /** Full FNV/bit-vote simhash recomputation + all-pairs hamming — shared by
     * q28 (uncapped) and q59 (default caps), same construction as above. */
@@ -582,19 +603,11 @@ object SparkEntry {
     "q58_minhash_capped" -> minhashAllPairsOracle,
     "q59_simhash_capped" -> simhashAllPairsOracle,
     // transitive closure of the same exact pair graph via a recursive CTE —
-    // fully independent of the engine's label-propagation implementation
-    "q63_dup_components" ->
-      s"""WITH RECURSIVE pairs AS ($minhashAllPairsOracle),
-         e AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs),
-         verts AS (SELECT DISTINCT u AS doc_id FROM e),
-         reach(doc_id, r) AS (
-           SELECT doc_id, doc_id FROM verts
-           UNION
-           SELECT e.u, reach.r FROM e JOIN reach ON reach.doc_id = e.v
-         ),
-         lab AS (SELECT doc_id, min(r) AS label FROM reach GROUP BY 1)
-         SELECT label AS component, count(*)::BIGINT AS n_docs, max(doc_id)::BIGINT AS max_doc
-         FROM lab GROUP BY 1""",
+    // fully independent of BOTH engine implementations (hash-min
+    // propagation q63, large/small-star contraction q67); one definition,
+    // two algorithm families proven equal to it
+    "q63_dup_components" -> dupComponentsClosureOracle,
+    "q67_dup_components_stars" -> dupComponentsClosureOracle,
     "q55_ann_ivf" -> bruteTopKOracle,
     "q30_ann_brute" -> bruteTopKOracle,
     "q60_daily_point_summaries" -> OracleSql.q60(2000),
