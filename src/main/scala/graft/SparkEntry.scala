@@ -81,6 +81,9 @@ object SparkEntry {
     "q67_dup_components_stars" -> ((s: SparkSession, d: String) =>
       Dedup.dupComponentsStars(Dedup.minhashLsh(s, d, maxBucket = Int.MaxValue))),
     "q29_fingerprint" -> (TextOps.fingerprints _),
+    // intra-document repetition filter: duplicate-bigram + top-token shares
+    // (the quality gate cross-document dedup cannot express)
+    "q68_repetition_filter" -> (TextOps.repetitionFilter(_, _)),
     // per-language exact quality percentiles (pretraining filter thresholds)
     "q51_quality_percentiles" -> (TextOps.qualityPercentiles _),
     "q52_quality_band_filter" -> (TextOps.qualityBandFilter _),
@@ -570,6 +573,25 @@ object SparkEntry {
                 ELSE 'fr' END AS pred_lang,
            hits_de, hits_en, hits_es, hits_fr
          FROM h""",
+    // mode count via unnest+GROUP BY — a different algorithm family from the
+    // engine's sorted run-length fold, so agreement is evidence, not echo
+    "q68_repetition_filter" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text,' ') AS toks FROM documents),
+         b AS (SELECT doc_id,
+                 CASE WHEN len(toks) < 2 THEN [text]
+                      ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) END AS bg
+               FROM t),
+         m AS (SELECT doc_id, len(bg)::BIGINT AS n_bigrams,
+                 len(list_distinct(bg))::BIGINT AS n_distinct_bigrams FROM b),
+         tc AS (SELECT doc_id, tok, count(*)::BIGINT AS c
+                FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2),
+         md AS (SELECT doc_id, max(c)::BIGINT AS mode_c FROM tc GROUP BY 1),
+         nt AS (SELECT doc_id, len(toks)::BIGINT AS n FROM t)
+         SELECT m.doc_id, m.n_bigrams, m.n_distinct_bigrams,
+           floor((m.n_bigrams - m.n_distinct_bigrams) * 10000.0 / m.n_bigrams)::BIGINT AS dup_bigram_bp,
+           floor(md.mode_c * 10000.0 / nt.n)::BIGINT AS top_token_bp,
+           floor((m.n_bigrams - m.n_distinct_bigrams) * 10000.0 / m.n_bigrams) < 3000 AS kept
+         FROM m JOIN md ON m.doc_id = md.doc_id JOIN nt ON m.doc_id = nt.doc_id""",
     "q25_exact_dedup" ->
       """WITH k AS (SELECT doc_id, md5(substr(lower(text),1,24)) AS k FROM documents),
          g AS (SELECT k, count(*)::BIGINT AS n FROM k GROUP BY 1)

@@ -51,6 +51,46 @@ object TextOps {
       size(filter(t, x => length(x) >= 8)).as("n_long_tokens"))
   }
 
+  /** Intra-document repetition filter — the standard pretraining quality
+    * gate that catches boilerplate/spam the cross-document dedup family
+    * cannot (a document can be unique corpus-wide yet mostly repeat
+    * itself): the duplicate fraction of word bigrams plus the most-frequent
+    * single token's share, both in exact basis points, and the keep/drop
+    * verdict at the conventional 30% duplicate-bigram bar. Pure Column
+    * algebra (split → slide → array_distinct → aggregate over
+    * sorted tokens for the mode count), so the whole thing stays inside
+    * whole-stage codegen; one scan, no shuffle. */
+  def repetitionFilter(spark: SparkSession, dir: String,
+                       maxRepBp: Long = 3000L): DataFrame = {
+    val t = toks
+    val n = size(t)
+    // word bigrams: tok[i] + ' ' + tok[i+1] for i in 0..n-2 (degenerate
+    // 1-token doc -> the token itself, matching shingleHashes' short-doc rule)
+    val bigrams = when(n < 2, array(col("text"))).otherwise(
+      transform(sequence(lit(0), n - 2),
+        i => concat(element_at(t, i + 1), lit(" "), element_at(t, i + 2))))
+    val nBg = size(bigrams)
+    val nDist = size(array_distinct(bigrams))
+    // mode count over tokens: run-length scan of the SORTED token array via
+    // aggregate() — (current run token, run length, best) carried in a struct
+    val sorted = array_sort(t)
+    val mode = aggregate(
+      sorted,
+      struct(lit("").as("tok"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("tok"), acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(x.as("tok"), run.as("run"), greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    table(spark, dir, "documents").select(
+      col("doc_id"),
+      nBg.cast("long").as("n_bigrams"),
+      nDist.cast("long").as("n_distinct_bigrams"),
+      (((nBg - nDist) * 10000L) / nBg).cast("long").as("dup_bigram_bp"),
+      ((mode * 10000L) / n).cast("long").as("top_token_bp"),
+      ((((nBg - nDist) * 10000L) / nBg) < maxRepBp).as("kept"))
+  }
+
   /** Token counting: whitespace tokens + a BPE-ish estimate (ceil(chars/4) —
     * the standard ~4-chars/token heuristic) + distinct tokens. */
   def tokenStats(spark: SparkSession, dir: String): DataFrame =

@@ -156,3 +156,29 @@ class SqSpec extends AnyFunSuite {
     }
   }
 }
+
+/** Repetition filter: hand-computable fixture for the run-length mode fold
+  * and the bigram shares (the q68 gate proves corpus-wide agreement with an
+  * independent group-by derivation; this pins the arithmetic on a case a
+  * human can check). */
+class RepetitionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("duplicate-bigram and top-token shares on a hand-checked doc") {
+    import spark.implicits._
+    val dir = "/tmp/rep_spec_dir"
+    graft.pipeline.Checkpoint.deleteRecursively(java.nio.file.Paths.get(dir))
+    Seq((1L, "src0", "a a a b"), (2L, "src0", "x y z w"), (3L, "src0", "solo"))
+      .toDF("doc_id", "source", "text").write.parquet(s"$dir/documents.parquet")
+    val got = graft.text.TextOps.repetitionFilter(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))))
+      .toMap
+    // doc 1: bigrams [a a, a a, a b] -> 3 total, 2 distinct, dup 3333 bp;
+    // mode token a = 3 of 4 -> 7500 bp; 3333 >= 3000 -> dropped
+    assert(got(1L) == ((3L, 2L, 3333L, 7500L, false)))
+    // doc 2: all distinct -> dup 0, mode 1/4 = 2500 bp, kept
+    assert(got(2L) == ((3L, 3L, 0L, 2500L, true)))
+    // doc 3: single token -> degenerate bigram = the text itself
+    assert(got(3L) == ((1L, 1L, 0L, 10000L, true)))
+  }
+}
