@@ -80,6 +80,15 @@ object SparkEntry {
     // the same recursive-CTE closure oracle
     "q67_dup_components_stars" -> ((s: SparkSession, d: String) =>
       Dedup.dupComponentsStars(Dedup.minhashLsh(s, d, maxBucket = Int.MaxValue))),
+    // the dedup DECISION list: components over the verified pair graph →
+    // representative per group (most tokens, ties to lowest id) → per-doc
+    // keep/drop verdict covering the WHOLE corpus (singletons keep=1); the
+    // window runs only over dup-group members, never the full table
+    "q70_dedup_decision" -> (Dedup.dedupDecision _),
+    // substring-level exact dedup: documents sharing a verbatim k-token span
+    // (hash-bucketed, df-capped at the PRODUCTION default; the oracle joins
+    // span STRINGS — an independent representation vs the engine's hashes)
+    "q71_span_dedup" -> ((s: SparkSession, d: String) => Dedup.spanDup(s, d)),
     "q29_fingerprint" -> (TextOps.fingerprints _),
     // intra-document repetition filter: duplicate-bigram + top-token shares
     // (the quality gate cross-document dedup cannot express)
@@ -104,6 +113,13 @@ object SparkEntry {
     // + 2 doubles per stored vector); the oracle replays quantization,
     // reconstruction and scoring, AnnSpec pins recall vs full precision
     "q66_ann_sq8" -> ((s: SparkSession, d: String) => Ann.sqTopK(s, d)),
+    // IVF routing composed over the SQ8 index (the FAISS IVFx,SQ8 family) at
+    // FULL probe: every inverted list is scanned, so the relation must equal
+    // exhaustive SQ8 search exactly — q66's replica oracle reused verbatim
+    // (the q55 plan-equivalence pattern); partial-probe recall is pinned in
+    // AnnSparkSpec on planted clusters
+    "q69_ann_ivf_sq8" -> ((s: SparkSession, d: String) =>
+      Ann.ivfSqTopK(s, d, nlist = 16, nprobe = 16)),
     // the LSH near-dup TIER — the documented scale path of q44 — under
     // PRODUCTION defaults (64-bit sigs, 8x8-bit bands, hot-bucket cap 64) on
     // the planted corpus where θ=0.95 gives LSH certifiable recall; the
@@ -333,6 +349,50 @@ object SparkEntry {
        lab AS (SELECT doc_id, min(r) AS label FROM reach GROUP BY 1)
        SELECT label AS component, count(*)::BIGINT AS n_docs, max(doc_id)::BIGINT AS max_doc
        FROM lab GROUP BY 1"""
+
+  /** Dedup DECISION oracle (q70): the same recursive-CTE closure as the
+    * components oracles, extended to the per-document verdict — every
+    * document labeled by its component (own id when unlabeled), the
+    * representative elected by (n_tokens DESC, doc_id) per component. The
+    * engine computes components by label propagation and the election by a
+    * window over dup members only; the oracle re-derives BOTH from scratch
+    * (closure + a window over the full table), so agreement pins the
+    * decision list end to end. */
+  private val dedupDecisionOracle =
+    s"""WITH RECURSIVE pairs AS ($minhashAllPairsOracle),
+       e AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs),
+       verts AS (SELECT DISTINCT u AS doc_id FROM e),
+       reach(doc_id, r) AS (
+         SELECT doc_id, doc_id FROM verts
+         UNION
+         SELECT e.u, reach.r FROM e JOIN reach ON reach.doc_id = e.v
+       ),
+       lab AS (SELECT doc_id, min(r) AS label FROM reach GROUP BY 1),
+       d AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),
+       m AS (SELECT d.doc_id, coalesce(lab.label, d.doc_id) AS component, d.n_tokens
+             FROM d LEFT JOIN lab ON d.doc_id = lab.doc_id),
+       rk AS (SELECT doc_id, component, n_tokens,
+                row_number() OVER (PARTITION BY component ORDER BY n_tokens DESC, doc_id) AS r
+              FROM m)
+       SELECT doc_id, component, n_tokens,
+         (CASE WHEN r = 1 THEN 1 ELSE 0 END)::BIGINT AS keep FROM rk"""
+
+  /** Duplicated-span oracle (q71): k-token windows materialized as STRINGS
+    * (the engine exchanges only 8-byte hashes — joining the strings here is
+    * the independent representation that would catch a 64-bit collision
+    * instead of inheriting it), the same document-frequency cap, distinct
+    * shared spans counted per pair. */
+  private def spanDupOracle(k: Int, maxDf: Int) =
+    s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+       w AS (SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(toks) - ${k - 2}),
+                 p -> array_to_string(list_slice(toks, p, p + ${k - 1}), ' '))) AS span
+             FROM t WHERE len(toks) >= $k),
+       dfok AS (SELECT span FROM w GROUP BY span HAVING count(*) <= $maxDf),
+       wc AS (SELECT doc_id, w.span FROM w JOIN dfok ON w.span = dfok.span)
+       SELECT l.doc_id AS a, r.doc_id AS b, count(*)::BIGINT AS n_spans
+       FROM wc l JOIN wc r ON l.span = r.span AND l.doc_id < r.doc_id
+       GROUP BY 1, 2"""
 
   /** Full FNV/bit-vote simhash recomputation + all-pairs hamming — shared by
     * q28 (uncapped) and q59 (default caps), same construction as above. */
@@ -630,6 +690,9 @@ object SparkEntry {
     // two algorithm families proven equal to it
     "q63_dup_components" -> dupComponentsClosureOracle,
     "q67_dup_components_stars" -> dupComponentsClosureOracle,
+    "q70_dedup_decision" -> dedupDecisionOracle,
+    // engine defaults (k=12 tokens, df-cap 64) mirrored here
+    "q71_span_dedup" -> spanDupOracle(12, 64),
     "q55_ann_ivf" -> bruteTopKOracle,
     "q30_ann_brute" -> bruteTopKOracle,
     "q60_daily_point_summaries" -> OracleSql.q60(2000),
@@ -641,6 +704,8 @@ object SparkEntry {
     "q31_ann_lsh" -> OracleSql.q31(graft.ann.Ann.hyperplanes(16, 64)),
     "q44_embed_neardup" -> OracleSql.q44(0.45),
     "q66_ann_sq8" -> OracleSql.q66(),
+    // IVF+SQ8 at full probe ≡ exhaustive SQ8 — same relation by definition
+    "q69_ann_ivf_sq8" -> OracleSql.q66(),
     "q65_ann_neardup_lsh_tier" -> OracleSql.q65(900, 0.95),
     // sketch queries verified by a REAL oracle: OracleSql reproduces the
     // engine's from-scratch 64-bit hashing (FNV-1a, rotl, splitmix64) in

@@ -301,6 +301,88 @@ object Ann {
       .select(col("qid"), col("vec_id"), col("rank"))
   }
 
+  /** IVF routing composed over the SQ8 index — the standard two-lever memory
+    * tier at 10^12 vectors (FAISS's `IVFx,SQ8` family): the coarse quantizer
+    * routes each query to `nprobe` inverted lists, and list members are
+    * scored through their int8 reconstruction instead of full-precision
+    * doubles, so the resident index is codes + (lo, step) per vector and the
+    * centroid table. Routing stays full precision (it runs once per stored
+    * vector at build time and once per query at search time — quantizing the
+    * ROUTER saves nothing and shifts list boundaries); only the SCORING uses
+    * codes. The per-pair arithmetic is the exact [[sqTopK]] kernel
+    * (quantize → `lo + code·step` → left-to-right dot), so `nprobe == nlist`
+    * degenerates to exhaustive SQ8 search and must equal [[sqTopK]] — which
+    * is how the q69 gate pins it (q66's replica oracle, reused verbatim);
+    * AnnSparkSpec separately pins partial-probe recall on planted clusters
+    * and full-probe equality to sqTopK. */
+  def ivfSqTopK(spark: SparkSession, dir: String, q: Int = 5, k: Int = 10,
+                nlist: Int = 16, nprobe: Int = 16, iters: Int = 2): DataFrame =
+    ivfSqTopKFrom(loadVecs(spark, dir), queriesFrom(spark, dir, q), k, nlist, nprobe, iters)
+
+  def ivfSqTopKFrom(vecs: DataFrame, queries: Seq[EmbQuery], k: Int,
+                    nlist: Int, nprobe: Int, iters: Int = 2): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val cents = ivfCentroids(vecs, nlist, iters)
+    val probes: Map[Long, Array[Int]] = queries.map { qq =>
+      qq.qid -> cents.indices
+        .sortBy(ci => (-cosine(cents(ci), qq.vec), ci)).take(nprobe).toArray
+    }.toMap
+    val bcC = spark.sparkContext.broadcast(cents)
+    val bcQ = spark.sparkContext.broadcast(queries.toArray)
+    val bcProbes = spark.sparkContext.broadcast(probes)
+    val kk = k
+    // one scan: assign the list (full-precision router), quantize once,
+    // score through the reconstruction for every query probing that list —
+    // vectors never shuffle, only Q·k heap survivors per partition do
+    val partial = vecs.as[(Long, Array[Double])].mapPartitions { it =>
+      val cs = bcC.value; val qs = bcQ.value; val pr = bcProbes.value
+      val qn = qs.map(qq => math.sqrt(dot(qq.vec, qq.vec)))
+      val probed = qs.map(qq => pr(qq.qid))
+      val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
+      val heaps = Array.fill(qs.length)(
+        scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord))
+      it.foreach { case (id, v) =>
+        var best = 0; var bestC = Double.NegativeInfinity
+        var ci = 0
+        while (ci < cs.length) {
+          val c = cosine(cs(ci), v)
+          if (c > bestC) { bestC = c; best = ci }
+          ci += 1
+        }
+        var quant: (Double, Double, Array[Byte]) = null
+        var qi = 0
+        while (qi < qs.length) {
+          if (probed(qi).contains(best)) {
+            if (quant == null) quant = sqQuantize(v)
+            val (lo, step, codes) = quant
+            val qv = qs(qi).vec
+            var s = 0.0; var rr = 0.0; var i = 0
+            while (i < codes.length) {
+              val r = lo + (codes(i) + 128).toDouble * step
+              s += qv(i) * r; rr += r * r
+              i += 1
+            }
+            val c = s / (qn(qi) * math.sqrt(rr))
+            val key = (-c, id)
+            val h = heaps(qi)
+            if (h.size < kk) h.enqueue(key)
+            else if (ord.lt(key, h.head)) { h.dequeue(); h.enqueue(key) }
+          }
+          qi += 1
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, i) =>
+        h.iterator.map { case (nc, id) => (qs(i).qid, id, nc) }
+      }
+    }.toDF("qid", "vec_id", "neg_cos")
+    partial.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("neg_cos"), col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("rank"))
+  }
+
   /** Deterministic planted near-dup corpus for gating the LSH tier: ids
     * group in runs of `groupSize`; members of a group share a splitmix-drawn
     * base vector plus a per-member eps-scaled perturbation, so within-group

@@ -317,6 +317,24 @@ object Dedup {
     * Input: (a, b) candidate pairs with a < b (any of the candidate
     * generators). Output: one row per component with ≥2 members. */
   def dupComponents(pairs: DataFrame, maxRounds: Int = 64): DataFrame = {
+    val labels = componentLabels(pairs, maxRounds)
+    val rollup = labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_doc"))
+      .select(col("label").as("component"), col("n_docs"), col("max_doc"))
+      .localCheckpoint() // eager, so the full label set can be freed now
+    graft.CacheOps.freeLocalCheckpoint(labels)
+    rollup
+  }
+
+  /** The hash-min label-propagation loop itself (the engine under
+    * [[dupComponents]] and [[dedupDecision]] — ONE definition, so a decision
+    * list can never disagree with the component rollup it summarizes).
+    * Returns the eagerly-checkpointed (doc_id, label) frame covering every
+    * vertex that appears in a pair; the caller owns the checkpoint and must
+    * free it ([[graft.CacheOps.freeLocalCheckpoint]]) once its derived frames
+    * are materialized. Convergence/refusal semantics documented on
+    * [[dupComponents]]. */
+  def componentLabels(pairs: DataFrame, maxRounds: Int = 64): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     val edges = pairs.select(col("a").as("u"), col("b").as("v"))
@@ -347,13 +365,41 @@ object Dedup {
     // rounds, so hitting the cap means the input is not a near-dup graph
     require(changed == 0,
       s"dupComponents did not converge within $maxRounds rounds (diameter too large)")
-    graft.CacheOps.freeLocalCheckpoint(edges) // the final rollup reads only `labels`
-    val rollup = labels.groupBy(col("label"))
-      .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_doc"))
-      .select(col("label").as("component"), col("n_docs"), col("max_doc"))
-      .localCheckpoint() // eager, so the full label set can be freed now
+    graft.CacheOps.freeLocalCheckpoint(edges) // callers read only `labels`
+    labels
+  }
+
+  /** End-to-end dedup DECISION list — the step that turns the pair graph
+    * into per-document actions a corpus build executes: verified near-dup
+    * pairs → connected components ([[componentLabels]]) → ONE representative
+    * per component (most tokens wins, ties to the lowest doc_id — keep the
+    * longest member, the convention when near-dups are truncations of each
+    * other) → a (doc_id, component, n_tokens, keep) verdict for EVERY
+    * document, singletons trivially keep=1 with themselves as component.
+    *
+    * Scale shape: the window that elects representatives runs ONLY over
+    * dup-group members (a small fraction of any real corpus — label
+    * propagation's output), never over the full table; singletons join
+    * against the materialized O(dup members) decision frame with a
+    * left_anti (no shuffle of text, ids only). The label checkpoint is
+    * freed as soon as the decided frame is materialized; callers looping
+    * in one JVM can free the returned frame's (small) checkpoint too. */
+  def dedupDecision(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(spark, dir, maxBucket = Int.MaxValue)
+    val labels = componentLabels(pairs)
+    val docs = table(spark, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label")).orderBy(col("n_tokens").desc, col("doc_id"))
+    val decided = docs.join(labels, Seq("doc_id"))
+      .withColumn("keep", when(row_number().over(w) === 1, 1L).otherwise(0L))
+      .select(col("doc_id"), col("label").as("component"), col("n_tokens"), col("keep"))
+      .localCheckpoint() // eager: O(dup members); lets the label set go now
     graft.CacheOps.freeLocalCheckpoint(labels)
-    rollup
+    val singles = docs.join(decided.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("component"), col("n_tokens"),
+        lit(1L).as("keep"))
+    decided.unionByName(singles)
   }
 
   /** Connected components via alternating large-star/small-star — the
@@ -459,5 +505,68 @@ object Dedup {
       .withColumn("j_bp", floor(col("common") * 10000.0 / (col("na") + col("nb") - col("common"))).cast("long"))
       .filter(col("j_bp") >= (minJ * 10000).toLong)
       .select(col("a"), col("b"), col("common"), col("j_bp"))
+  }
+
+  /** Distinct k-token window hashes of a document — the substring-dedup
+    * analog of [[shingleHashes]] with LONG windows (k ≈ 12 tokens ≈ the
+    * 50-char spans substring dedup targets) instead of w=3 shingles. */
+  def spanHashes(text: String, k: Int): Array[Long] = {
+    val toks = text.split(' ')
+    if (toks.length < k) Array.empty
+    else {
+      val out = new java.util.HashSet[Long]()
+      var i = 0
+      while (i + k <= toks.length) {
+        val sb = new java.lang.StringBuilder()
+        var j = i
+        while (j < i + k) {
+          if (j > i) sb.append(' ')
+          sb.append(toks(j))
+          j += 1
+        }
+        out.add(hash64(sb.toString)); i += 1
+      }
+      val arr = new Array[Long](out.size())
+      val it = out.iterator(); var n = 0
+      while (it.hasNext) { arr(n) = it.next(); n += 1 }
+      arr
+    }
+  }
+
+  /** Cross-document duplicated-SPAN detection — substring-level exact dedup
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better"): two documents can be distinct at the whole-document level yet
+    * share a verbatim k-token span (a quoted paragraph, boilerplate header,
+    * license block) that an LM will memorize. Every k-token window becomes
+    * an 8-byte hash in the partition that read the document; only
+    * (doc_id, hash) pairs ever enter an exchange (the q26/q27 string-free
+    * pattern — never the spans themselves). Window hashes with document
+    * frequency > `maxDf` are dropped before the self-join (ubiquitous
+    * boilerplate would otherwise make one bucket quadratic — same df-cap
+    * practice as [[ngramJaccard]], and at k=12 tokens a span shared by >64
+    * documents is boilerplate by definition, not a dedup pair). Output: one
+    * row per document pair sharing ≥1 surviving span, with the count of
+    * distinct shared spans. The q71 gate's oracle joins on the span STRINGS
+    * — an independent representation that would catch (not inherit) a 64-bit
+    * hash collision. */
+  def spanDup(spark: SparkSession, dir: String, k: Int = 12, maxDf: Int = 64): DataFrame = {
+    import spark.implicits._
+    val kk = k
+    val d = table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) => (id, spanHashes(text, kk)) })
+      .toDF("doc_id", "sh")
+    val ex = d.select(col("doc_id"), explode(col("sh")).as("g"))
+    // df rollup, semi-join and the intersection self-join all shuffle on g —
+    // one partitioning end to end
+    val dfok = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("g"))
+    val exc = ex.join(dfok, Seq("g"))
+    exc.as("l").join(exc.as("r"),
+        col("l.g") === col("r.g") && col("l.doc_id") < col("r.doc_id"))
+      .groupBy(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+      .agg(count(lit(1)).as("n_spans"))
+      .select(col("a"), col("b"), col("n_spans"))
   }
 }

@@ -214,6 +214,48 @@ class AnnSparkSpec extends AnyFunSuite {
     assert(part == want, s"IVF nprobe=3 missed: ${(want -- part).take(5)}")
   }
 
+  test("IVF+SQ8: full probe equals exhaustive SQ8 scoring; partial probe keeps cluster recall") {
+    import spark.implicits._
+    val r = new Prop.Rng(29)
+    val dim = 16
+    def noisy(center: Array[Double], eps: Double): Array[Double] =
+      center.map(c => c + r.double(-eps, eps))
+    val centers = Array.fill(4)(Array.fill(dim)(r.double(-1, 1)))
+    val rows: Seq[(Long, Array[Double])] =
+      centers.zipWithIndex.map { case (c, i) => (i.toLong, c) }.toSeq ++
+        (0 until 120).map(i => (100L + i, noisy(centers(i % 4), 0.05))) ++
+        (0 until 300).map(i => (1000L + i, Array.fill(dim)(r.double(-1, 1))))
+    val vecs = rows.toDF("vec_id", "v")
+    val queries = centers.zipWithIndex.map { case (c, i) => Ann.EmbQuery(i.toLong, c) }.toSeq
+    // truth = plain-loop exhaustive scoring through the SAME int8
+    // reconstruction the engine uses (quantization loses information, so the
+    // reference is reconstructed cosine, not full-precision cosine)
+    def reconCos(q: Array[Double], v: Array[Double]): Double = {
+      val (lo, step, codes) = Ann.sqQuantize(v)
+      var s = 0.0; var rr = 0.0; var qq = 0.0; var i = 0
+      while (i < codes.length) {
+        val rec = lo + (codes(i) + 128).toDouble * step
+        s += q(i) * rec; rr += rec * rec; qq += q(i) * q(i)
+        i += 1
+      }
+      s / (math.sqrt(qq) * math.sqrt(rr))
+    }
+    val want = queries.flatMap { q =>
+      rows.map { case (id, v) => (id, reconCos(q.vec, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(10).zipWithIndex
+        .map { case ((id, _), i) => (q.qid, id, i + 1) }
+    }.toSet
+    val full = Ann.ivfSqTopKFrom(vecs, queries, k = 10, nlist = 8, nprobe = 8)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+    assert(full == want)
+    // partial probe: queries ARE cluster centers, so the probed lists hold
+    // the true neighbors — int8 noise (step/2 per component) cannot move a
+    // cos~1 cluster member below a |cos|<~0.5 random vector
+    val part = Ann.ivfSqTopKFrom(vecs, queries, k = 10, nlist = 8, nprobe = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+    assert(part == want, s"IVF+SQ8 nprobe=3 missed: ${(want -- part).take(5)}")
+  }
+
   test("block-pair triangle decomposition is exact for odd/edge block counts") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -182,3 +182,76 @@ class RepetitionSpec extends AnyFunSuite {
     assert(got(3L) == ((1L, 1L, 0L, 10000L, true)))
   }
 }
+
+/** Duplicated-span detection (q71) and the dedup decision list (q70):
+  * planted fixtures with plain-loop truth. The gates prove corpus-wide
+  * agreement with independent DuckDB derivations (span STRINGS vs the
+  * engine's hashes; recursive closure vs label propagation); these pin the
+  * semantics on inputs a human can check — including the df-cap dropping a
+  * boilerplate span and the longest-member representative election. */
+class SpanDedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("spanDup finds exactly the planted shared k-token spans; df-cap drops boilerplate") {
+    import spark.implicits._
+    val dir = "/tmp/span_spec_dir"
+    graft.pipeline.Checkpoint.deleteRecursively(java.nio.file.Paths.get(dir))
+    val k = 6
+    val shared1 = (1 to k).map(i => s"s$i").mkString(" ")   // docs 1+2
+    val shared2 = (1 to k).map(i => s"t$i").mkString(" ")   // docs 3+4+5
+    val boiler = (1 to k).map(i => s"b$i").mkString(" ")    // docs 10..15 (6 docs > maxDf)
+    def pad(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"${pad("a", 8)} $shared1"),
+      (2L, s"$shared1 ${pad("c", 8)}"),
+      (3L, s"${pad("d", 4)} $shared2 ${pad("e", 4)}"),
+      (4L, s"$shared2 ${pad("f", 8)}"),
+      (5L, s"${pad("g", 8)} $shared2"),
+      (6L, pad("h", 20)), // singleton: shares nothing
+      (7L, pad("zz", 3)) // shorter than k: no spans at all
+    ) ++ (10L to 15L).map(i => (i, s"${pad(s"x$i", 8)} $boiler"))
+    docs.map { case (id, t) => (id, "src0", t) }
+      .toDF("doc_id", "source", "text").write.parquet(s"$dir/documents.parquet")
+    // plain-loop truth with the same df-cap
+    def spans(t: String): Set[String] =
+      t.split(' ').sliding(k).filter(_.length == k).map(_.mkString(" ")).toSet
+    val byDoc = docs.map { case (id, t) => id -> spans(t) }.toMap
+    val df = byDoc.values.flatten.groupBy(identity).map { case (s, xs) => s -> xs.size }
+    val surviving = byDoc.map { case (id, ss) => id -> ss.filter(df(_) <= 5) }
+    val want = (for {
+      a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+      n = (surviving(a) intersect surviving(b)).size if n > 0
+    } yield (a, b, n.toLong)).toSet
+    assert(want.exists(_._3 > 1) || want.nonEmpty)
+    val got = Dedup.spanDup(spark, dir, k = k, maxDf = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, s"missed=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    // the boilerplate span must NOT appear as pairs among docs 10..15
+    assert(!got.exists { case (a, b, _) => a >= 10L && b <= 15L && a < b && a >= 10L })
+  }
+
+  test("dedupDecision: longest member wins, ties to lowest id, singletons keep") {
+    import spark.implicits._
+    val dir = "/tmp/decision_spec_dir"
+    graft.pipeline.Checkpoint.deleteRecursively(java.nio.file.Paths.get(dir))
+    val a = (1 to 30).map(i => s"w$i").mkString(" ")
+    val b = (1 to 20).map(i => s"v$i").mkString(" ")
+    val docs = Seq(
+      (1L, a), (2L, a), (3L, a),      // identical triple: tie -> doc 1 kept
+      (4L, b), (5L, b + " v21"),      // near-dup pair: doc 5 is LONGER -> kept
+      (6L, (1 to 10).map(i => s"p$i").mkString(" ")), // singletons
+      (7L, (1 to 10).map(i => s"q$i").mkString(" ")))
+    docs.map { case (id, t) => (id, "src0", t) }
+      .toDF("doc_id", "source", "text").write.parquet(s"$dir/documents.parquet")
+    val got = Dedup.dedupDecision(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.size == 7)
+    assert(got(1L) == ((1L, 30L, 1L)))
+    assert(got(2L) == ((1L, 30L, 0L)))
+    assert(got(3L) == ((1L, 30L, 0L)))
+    assert(got(4L) == ((4L, 20L, 0L)))
+    assert(got(5L) == ((4L, 21L, 1L))) // longer member elected over lower id
+    assert(got(6L) == ((6L, 10L, 1L)))
+    assert(got(7L) == ((7L, 10L, 1L)))
+  }
+}
