@@ -655,6 +655,34 @@ object OracleSql {
        |SELECT qid, vec_id, rank::INT AS rank FROM rk WHERE rank <= $k""".stripMargin
   }
 
+  /** Replica oracle for q73 (SemDeDup at nlist = 1): with a single cluster
+    * the clustering cannot change the answer, so the relation must equal
+    * exact all-pairs semantic dedup — all-pairs cosine ≥ θ (the q44
+    * left-to-right dot), recursive-CTE transitive closure (the q63 oracle
+    * family — a different algorithm than the engine's label propagation),
+    * keep = (vec_id == component minimum), singletons keep trivially. */
+  def q73(minCos: Double): String = {
+    def dot(a: String, b: String) =
+      s"list_reduce(list_transform(range(1, 65), i -> ($a)[i] * ($b)[i]), (x, y) -> x + y)"
+    s"""WITH RECURSIVE vv AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |p AS (SELECT l.vec_id AS a, r.vec_id AS b,
+       |        ${dot("l.e", "r.e")} / (sqrt(${dot("l.e", "l.e")}) * sqrt(${dot("r.e", "r.e")})) AS c
+       |      FROM vv l JOIN vv r ON l.vec_id < r.vec_id),
+       |pr AS (SELECT a, b FROM p WHERE c >= $minCos),
+       |ed AS (SELECT a AS u, b AS w FROM pr UNION ALL SELECT b, a FROM pr),
+       |verts AS (SELECT DISTINCT u AS vec_id FROM ed),
+       |reach(vec_id, r) AS (
+       |  SELECT vec_id, vec_id FROM verts
+       |  UNION
+       |  SELECT ed.u, reach.r FROM ed JOIN reach ON reach.vec_id = ed.w
+       |),
+       |lab AS (SELECT vec_id, min(r) AS label FROM reach GROUP BY 1),
+       |m AS (SELECT vv.vec_id, coalesce(lab.label, vv.vec_id) AS component
+       |      FROM vv LEFT JOIN lab ON vv.vec_id = lab.vec_id)
+       |SELECT vec_id, component,
+       |  (CASE WHEN vec_id = component THEN 1 ELSE 0 END)::BIGINT AS keep FROM m""".stripMargin
+  }
+
   /** graft.text.Dedup.simhash64 over the `documents` table → CTE text
     * defining `sim(doc_id, sh)` (sh as UBIGINT; bit-identical to the Scala
     * signed long). */

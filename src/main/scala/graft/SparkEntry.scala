@@ -89,6 +89,14 @@ object SparkEntry {
     // (hash-bucketed, df-capped at the PRODUCTION default; the oracle joins
     // span STRINGS — an independent representation vs the engine's hashes)
     "q71_span_dedup" -> ((s: SparkSession, d: String) => Dedup.spanDup(s, d)),
+    // leakage-safe splits: train/val/test assigned per dup COMPONENT (a
+    // near-duplicate of a training doc can never land in eval), splitmix
+    // basis points of the salted component id
+    "q72_leakage_safe_split" -> (Dedup.leakageSafeSplit _),
+    // benchmark decontamination: train docs scored by shingle overlap vs the
+    // broadcast eval set (doc_id < 25), flagged at >= 2000 bp — the
+    // n-gram-overlap eval-leakage guard; map-side only, no pair shuffle
+    "q74_decontaminate" -> ((s: SparkSession, d: String) => Dedup.decontaminate(s, d)),
     "q29_fingerprint" -> (TextOps.fingerprints _),
     // intra-document repetition filter: duplicate-bigram + top-token shares
     // (the quality gate cross-document dedup cannot express)
@@ -120,6 +128,11 @@ object SparkEntry {
     // AnnSparkSpec on planted clusters
     "q69_ann_ivf_sq8" -> ((s: SparkSession, d: String) =>
       Ann.ivfSqTopK(s, d, nlist = 16, nprobe = 16)),
+    // SemDeDup (cluster-then-dedup over embeddings) at nlist = 1: a single
+    // cluster cannot change the answer, so the verdict list must equal exact
+    // all-pairs semantic dedup (closure oracle); the clustered path's
+    // recall-on-separated-clusters is pinned in AnnSparkSpec
+    "q73_semdedup" -> ((s: SparkSession, d: String) => Ann.semDedup(s, d)),
     // the LSH near-dup TIER — the documented scale path of q44 — under
     // PRODUCTION defaults (64-bit sigs, 8x8-bit bands, hot-bucket cap 64) on
     // the planted corpus where θ=0.95 gives LSH certifiable recall; the
@@ -376,6 +389,52 @@ object SparkEntry {
               FROM m)
        SELECT doc_id, component, n_tokens,
          (CASE WHEN r = 1 THEN 1 ELSE 0 END)::BIGINT AS keep FROM rk"""
+
+  /** Decontamination oracle (q74): the engine's 8-byte shingle hashes are
+    * replaced by shingle STRINGS (independent representation, catches 64-bit
+    * collisions); short docs (< w tokens) contribute their whole token
+    * sequence as their one degenerate shingle, mirroring
+    * Dedup.shingleHashes. */
+  private val decontaminateOracle =
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+       sh AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(toks) >= 3
+                THEN list_transform(range(1, len(toks)-1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                ELSE [array_to_string(toks, ' ')] END) AS g
+              FROM t),
+       ev AS (SELECT DISTINCT g FROM sh WHERE doc_id < 25),
+       n AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh WHERE doc_id >= 25 GROUP BY 1),
+       ov AS (SELECT s.doc_id, count(*)::BIGINT AS n_overlap
+              FROM sh s JOIN ev ON s.g = ev.g WHERE s.doc_id >= 25 GROUP BY 1)
+       SELECT n.doc_id, n.n_sh, coalesce(ov.n_overlap, 0)::BIGINT AS n_overlap,
+         (coalesce(ov.n_overlap, 0) * 10000 // n.n_sh)::BIGINT AS overlap_bp,
+         (CASE WHEN coalesce(ov.n_overlap, 0) * 10000 // n.n_sh >= 2000
+               THEN 1 ELSE 0 END)::BIGINT AS contaminated
+       FROM n LEFT JOIN ov ON n.doc_id = ov.doc_id"""
+
+  /** Leakage-safe split oracle (q72): closure → component per document →
+    * the same salted splitmix basis points ((mix(component+salt) &
+    * 0x7FFFFFFF) % 10000, the q53 replica) → split thresholds. Same-split-
+    * per-component holds by construction on both sides; the hash pins it. */
+  private val leakageSafeSplitOracle = {
+    val bp = s"(${OracleSql.mix("(component + 7777777)::UBIGINT")} & 2147483647) % 10000"
+    s"""WITH RECURSIVE pairs AS ($minhashAllPairsOracle),
+       e AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs),
+       verts AS (SELECT DISTINCT u AS doc_id FROM e),
+       reach(doc_id, r) AS (
+         SELECT doc_id, doc_id FROM verts
+         UNION
+         SELECT e.u, reach.r FROM e JOIN reach ON reach.doc_id = e.v
+       ),
+       lab AS (SELECT doc_id, min(r) AS label FROM reach GROUP BY 1),
+       m AS (SELECT d.doc_id, coalesce(lab.label, d.doc_id) AS component
+             FROM documents d LEFT JOIN lab ON d.doc_id = lab.doc_id),
+       h AS (SELECT doc_id, component, ($bp)::BIGINT AS h_bp FROM m)
+       SELECT doc_id, component, h_bp,
+         CASE WHEN h_bp < 9000 THEN 'train' WHEN h_bp < 9500 THEN 'val'
+              ELSE 'test' END AS split
+       FROM h"""
+  }
 
   /** Duplicated-span oracle (q71): k-token windows materialized as STRINGS
     * (the engine exchanges only 8-byte hashes — joining the strings here is
@@ -691,6 +750,8 @@ object SparkEntry {
     "q63_dup_components" -> dupComponentsClosureOracle,
     "q67_dup_components_stars" -> dupComponentsClosureOracle,
     "q70_dedup_decision" -> dedupDecisionOracle,
+    "q72_leakage_safe_split" -> leakageSafeSplitOracle,
+    "q74_decontaminate" -> decontaminateOracle,
     // engine defaults (k=12 tokens, df-cap 64) mirrored here
     "q71_span_dedup" -> spanDupOracle(12, 64),
     "q55_ann_ivf" -> bruteTopKOracle,
@@ -707,6 +768,7 @@ object SparkEntry {
     // IVF+SQ8 at full probe ≡ exhaustive SQ8 — same relation by definition
     "q69_ann_ivf_sq8" -> OracleSql.q66(),
     "q65_ann_neardup_lsh_tier" -> OracleSql.q65(900, 0.95),
+    "q73_semdedup" -> OracleSql.q73(0.45),
     // sketch queries verified by a REAL oracle: OracleSql reproduces the
     // engine's from-scratch 64-bit hashing (FNV-1a, rotl, splitmix64) in
     // DuckDB via wrap-around 32-bit-half multiplication

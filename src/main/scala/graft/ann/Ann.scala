@@ -517,6 +517,81 @@ object Ann {
     cents
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): embedding-level dedup that
+    * bounds the quadratic by CLUSTERING first — k-means over the corpus,
+    * pairwise cosine only WITHIN each cluster, keep one representative per
+    * semantic-dup component. The cluster count is the scale knob: production
+    * picks nlist so clusters stay bounded (the paper uses k ≈ 11k on LAION),
+    * making per-cluster pairwise linear-ish in N; pairs that straddle
+    * clusters are missed — the algorithm's documented approximation
+    * (AnnSparkSpec pins recall 1.0 on planted well-separated clusters, where
+    * the approximation is exact).
+    *
+    * Plan shape: centroids are the deterministic [[ivfCentroids]] (broadcast,
+    * vectors never shuffle for training); each vector shuffles ONCE on its
+    * cluster id for the within-cluster self-join; the exact-cosine verify
+    * (the q44 left-to-right kernel) runs post-join in the join's own
+    * partitioning; components resolve by hash-min label propagation
+    * ([[graft.text.Dedup.componentLabels]] — the q63 engine); the verdict is
+    * keep = (vec_id == component minimum). The q73 gate runs nlist = 1 —
+    * every pair is in one cluster, so the relation must equal exact
+    * all-pairs dedup, which the oracle re-derives via all-pairs cosine +
+    * recursive-CTE closure (no centroid replay needed: at nlist = 1
+    * clustering cannot change the answer, the q55 plan-equivalence trick). */
+  def semDedup(spark: SparkSession, dir: String, nlist: Int = 1,
+               theta: Double = 0.45, iters: Int = 2): DataFrame =
+    semDedupFrom(loadVecs(spark, dir), nlist, theta, iters)
+
+  def semDedupFrom(vecs: DataFrame, nlist: Int, theta: Double,
+                   iters: Int = 2): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val assigned =
+      if (nlist <= 1) vecs.withColumn("list", lit(0))
+      else {
+        val bcC = spark.sparkContext.broadcast(ivfCentroids(vecs, nlist, iters))
+        val assignUdf = udf { (v: Seq[Double]) =>
+          val cs = bcC.value; val arr = v.toArray
+          var best = 0; var bestC = Double.NegativeInfinity
+          var ci = 0
+          while (ci < cs.length) {
+            val c = cosine(cs(ci), arr)
+            if (c > bestC) { bestC = c; best = ci }
+            ci += 1
+          }
+          best
+        }
+        vecs.withColumn("list", assignUdf(col("v")))
+      }
+    // each vector shuffles ONCE on its cluster id (a self-join would move
+    // |cluster|² vector copies through the exchange); the quadratic runs
+    // in-memory per cluster, bounded by max cluster size — nlist is the knob
+    // that bounds it, per the algorithm's contract
+    val th = theta
+    val pairs = assigned.select(col("list"), col("vec_id"), col("v"))
+      .as[(Int, Long, Array[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val ms = it.map { case (_, id, v) => (id, v) }.toArray.sortBy(_._1)
+        for {
+          i <- ms.indices.iterator; j <- (i + 1 until ms.length).iterator
+          if cosine(ms(i)._2, ms(j)._2) >= th
+        } yield (ms(i)._1, ms(j)._1)
+      }
+      .toDF("a", "b")
+    val labels = graft.text.Dedup.componentLabels(pairs)
+    val dupVerdicts = labels
+      .select(col("doc_id").as("vec_id"), col("label").as("component"),
+        when(col("doc_id") === col("label"), 1L).otherwise(0L).as("keep"))
+      .localCheckpoint() // eager: O(dup members); lets the label set go now
+    graft.CacheOps.freeLocalCheckpoint(labels)
+    val singles = vecs.select(col("vec_id"))
+      .join(dupVerdicts.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("vec_id").as("component"), lit(1L).as("keep"))
+    dupVerdicts.unionByName(singles)
+  }
+
   /** Candidate id pairs (qid, vec_id) from the band join — only
     * (vec_id, band, vband) rows ever move; no embedding in the exchange. */
   def lshCandidates(vecs: DataFrame, queries: Seq[EmbQuery],

@@ -402,6 +402,40 @@ object Dedup {
     decided.unionByName(singles)
   }
 
+  /** Leakage-safe train/val/test split — the dedup-aware split guard a
+    * pretraining corpus needs: assigning splits per DOCUMENT lets a
+    * near-duplicate of a training document leak into eval (the contamination
+    * failure dedup papers measure), so the split key here is the dup
+    * COMPONENT: every member of a near-dup group lands in the same split by
+    * construction, singletons key on their own id. Assignment is
+    * deterministic splitmix basis points of the salted component id
+    * (the q53 hash-downsampling discipline — reproducible across reruns,
+    * no RNG state): < 9000 train, < 9500 val, else test.
+    *
+    * Scale shape: split derivation for dup members runs over the
+    * O(dup members) label frame and is materialized there (checkpoint freed
+    * eagerly); the corpus-wide remainder is one left_anti on ids plus a
+    * per-row codegen hash — no shuffle wider than the label join. */
+  def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.SeedExprs
+    val SplitSalt = 7777777L
+    def withSplit(df: DataFrame): DataFrame = df
+      .withColumn("h_bp", SeedExprs.mixBp(col("component") + lit(SplitSalt)))
+      .withColumn("split", when(col("h_bp") < 9000L, "train")
+        .when(col("h_bp") < 9500L, "val").otherwise("test"))
+    val pairs = minhashLsh(spark, dir, maxBucket = Int.MaxValue)
+    val labels = componentLabels(pairs)
+    val dupSplits = withSplit(
+        labels.select(col("doc_id"), col("label").as("component")))
+      .localCheckpoint() // eager: O(dup members); lets the label set go now
+    graft.CacheOps.freeLocalCheckpoint(labels)
+    val singles = withSplit(
+      table(spark, dir, "documents").select(col("doc_id"))
+        .join(dupSplits.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .withColumn("component", col("doc_id")))
+    dupSplits.unionByName(singles)
+  }
+
   /** Connected components via alternating large-star/small-star — the
     * round-halving refinement [[dupComponents]] documents (Kiveris et al.,
     * "Connected Components in MapReduce and Beyond", SoCC'14): hash-min
@@ -531,6 +565,45 @@ object Dedup {
       while (it.hasNext) { arr(n) = it.next(); n += 1 }
       arr
     }
+  }
+
+  /** Benchmark DECONTAMINATION — the eval-leakage guard run before training:
+    * a training document that shares verbatim n-grams with a benchmark/eval
+    * document inflates eval scores without generalization, so every train
+    * doc is scored by its shingle overlap against the full eval set and
+    * flagged above a threshold (the n-gram-overlap decontamination used for
+    * GPT-3/PaLM-class corpora). Here the eval set is `doc_id < evalMax` —
+    * the realistic shape: benchmarks are ≪ the corpus, so their distinct
+    * shingle-hash set BROADCASTS and the whole pass is one map-side
+    * semi-match over the training scan — no shuffle wider than the final
+    * per-doc count. 8-byte shingle hashes only (the q26/q27 string-free
+    * discipline); the q74 oracle joins shingle STRINGS, the independent
+    * representation that catches a 64-bit collision. Output: every train doc
+    * with its distinct-shingle count, overlap count, overlap in basis points
+    * and the contaminated verdict. */
+  def decontaminate(spark: SparkSession, dir: String, evalMax: Long = 25L,
+                    w: Int = 3, minOverlapBp: Long = 2000L): DataFrame = {
+    import spark.implicits._
+    val ww = w
+    val d = table(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) => (id, shingleHashes(text, ww)) })
+      .toDF("doc_id", "sh")
+    val evalSet = d.filter(col("doc_id") < evalMax)
+      .select(explode(col("sh")).as("g")).distinct()
+      .as[Long].collect().toSet
+    val bcEval = spark.sparkContext.broadcast(evalSet)
+    d.filter(col("doc_id") >= evalMax).as[(Long, Array[Long])]
+      .map { case (id, shs) =>
+        val ev = bcEval.value
+        var overlap = 0; var i = 0
+        while (i < shs.length) { if (ev.contains(shs(i))) overlap += 1; i += 1 }
+        (id, shs.length.toLong, overlap.toLong,
+          if (shs.length > 0) overlap.toLong * 10000L / shs.length else 0L)
+      }
+      .toDF("doc_id", "n_sh", "n_overlap", "overlap_bp")
+      .withColumn("contaminated",
+        when(col("overlap_bp") >= minOverlapBp, 1L).otherwise(0L))
   }
 
   /** Cross-document duplicated-SPAN detection — substring-level exact dedup

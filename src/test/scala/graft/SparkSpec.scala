@@ -256,6 +256,41 @@ class AnnSparkSpec extends AnyFunSuite {
     assert(part == want, s"IVF+SQ8 nprobe=3 missed: ${(want -- part).take(5)}")
   }
 
+  test("SemDeDup: nlist=1 equals exact all-pairs dedup; clustered path keeps recall on separated clusters") {
+    import spark.implicits._
+    val r = new Prop.Rng(31)
+    val dim = 16
+    // planted near-dup pairs inside well-separated clusters + singleton noise
+    val bases = Array.fill(12)(Array.fill(dim)(r.double(-1, 1)))
+    val rows: Seq[(Long, Array[Double])] =
+      bases.zipWithIndex.flatMap { case (b0, i) =>
+        Seq((i * 2L, b0), (i * 2L + 1, b0.map(c => c + r.double(-0.005, 0.005))))
+      }.toSeq ++ (0 until 200).map(i => (1000L + i, Array.fill(dim)(r.double(-1, 1))))
+    val vecs = rows.toDF("vec_id", "v")
+    // exact truth from plain loops: pairs -> components (union-find) -> keep
+    val truePairs = (for {
+      i <- rows.indices; j <- (i + 1) until rows.length
+      if Ann.cosine(rows(i)._2, rows(j)._2) >= 0.98
+    } yield (rows(i)._1, rows(j)._1)).toSeq
+    assert(truePairs.size >= 12)
+    val parent = scala.collection.mutable.Map(rows.map(x => x._1 -> x._1): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r0 = find(parent(x)); parent(x) = r0; r0 }
+    truePairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = rows.map { case (id, _) =>
+      val c = find(id); (id, c, if (id == c) 1L else 0L)
+    }.toSet
+    val exact = Ann.semDedupFrom(vecs, nlist = 1, theta = 0.98)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(exact == want)
+    // clustered path: planted dup pairs are ~identical so they can never be
+    // split across k-means clusters; the verdict list must be unchanged
+    val clustered = Ann.semDedupFrom(vecs, nlist = 6, theta = 0.98)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(clustered == want, s"clustered missed: ${(want -- clustered).take(5)}")
+  }
+
   test("block-pair triangle decomposition is exact for odd/edge block counts") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

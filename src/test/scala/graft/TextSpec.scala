@@ -254,4 +254,67 @@ class SpanDedupSpec extends AnyFunSuite {
     assert(got(6L) == ((6L, 10L, 1L)))
     assert(got(7L) == ((7L, 10L, 1L)))
   }
+
+  test("leakageSafeSplit: every verified near-dup pair shares a split; assignment is deterministic") {
+    import spark.implicits._
+    val dir = "/tmp/split_spec_dir"
+    graft.pipeline.Checkpoint.deleteRecursively(java.nio.file.Paths.get(dir))
+    // several identical groups (guaranteed minhash pairs) + singletons, ids
+    // spread so salted-mix split draws differ across components
+    val docs = (0 until 12).flatMap { g =>
+      val t = (1 to 25).map(i => s"g${g}w$i").mkString(" ")
+      Seq((g * 10L, t), (g * 10L + 1, t))
+    } ++ (500L to 520L).map(i => (i, (1 to 15).map(j => s"s${i}x$j").mkString(" ")))
+    docs.map { case (id, t) => (id, "src0", t) }
+      .toDF("doc_id", "source", "text").write.parquet(s"$dir/documents.parquet")
+    val rows = Dedup.leakageSafeSplit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.length == docs.length)
+    val splitOf = rows.map(r => r._1 -> r._4).toMap
+    val pairs = Dedup.minhashLsh(spark, dir, maxBucket = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length >= 12)
+    pairs.foreach { case (a, b) =>
+      assert(splitOf(a) == splitOf(b), s"pair ($a,$b) straddles splits: ${splitOf(a)} vs ${splitOf(b)}")
+    }
+    // members of a component carry the component's draw, not their own
+    val byComp = rows.groupBy(_._2)
+    byComp.foreach { case (_, ms) =>
+      assert(ms.map(_._3).distinct.length == 1)
+      assert(ms.map(_._4).distinct.length == 1)
+    }
+    // deterministic across invocations
+    val again = Dedup.leakageSafeSplit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // the splitmix draw actually spreads: singletons cover >1 split
+    assert(rows.filter(_._1 >= 500L).map(_._4).distinct.length > 1)
+  }
+
+  test("decontaminate: planted benchmark leak flagged, clean doc scores zero overlap") {
+    import spark.implicits._
+    val dir = "/tmp/decon_spec_dir"
+    graft.pipeline.Checkpoint.deleteRecursively(java.nio.file.Paths.get(dir))
+    val bench = (1 to 20).map(i => s"e$i").mkString(" ")
+    val docs = Seq(
+      (0L, bench),                                     // the eval doc
+      (1L, (1 to 15).map(i => s"o$i").mkString(" ")),  // second eval doc
+      // train: a verbatim copy of the benchmark padded with fresh tokens
+      (10L, s"${(1 to 10).map(i => s"p$i").mkString(" ")} $bench"),
+      // train: clean
+      (11L, (1 to 30).map(i => s"c$i").mkString(" ")),
+      // train: one shared 3-gram only (below the 2000 bp bar)
+      (12L, s"e1 e2 e3 ${(1 to 27).map(i => s"d$i").mkString(" ")}"))
+    docs.map { case (id, t) => (id, "src0", t) }
+      .toDF("doc_id", "source", "text").write.parquet(s"$dir/documents.parquet")
+    val got = Dedup.decontaminate(spark, dir, evalMax = 2L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got.keySet == Set(10L, 11L, 12L))
+    // doc 10: 28 distinct shingles, the bench's 18 all present -> 6428 bp
+    assert(got(10L) == ((28L, 18L, 6428L, 1L)))
+    assert(got(11L) == ((28L, 0L, 0L, 0L)))
+    // doc 12: shares exactly the "e1 e2 e3" shingle -> 1 of 28 = 357 bp, kept
+    assert(got(12L) == ((28L, 1L, 357L, 0L)))
+  }
 }
