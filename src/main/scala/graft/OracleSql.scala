@@ -683,6 +683,64 @@ object OracleSql {
        |  (CASE WHEN vec_id = component THEN 1 ELSE 0 END)::BIGINT AS keep FROM m""".stripMargin
   }
 
+  /** Replica oracle for q75 (integer-lattice product quantization): replays
+    * the ENTIRE PQ pipeline in SQL — e6 lattice quantization, the ksub
+    * lowest-id seed codebooks, `iters` Lloyd rounds as a recursive CTE
+    * (assignment = exact integer argmin with the `D·ksub + j` tie encoding,
+    * update = floor-div integer means with empty clusters keeping their
+    * centroid), final code assignment, reconstruction (`c / 1e6` per
+    * component in dim order) and the q66 left-to-right cosine kernel. This
+    * is only possible because the engine trains on the integer lattice:
+    * every sum is exact 64-bit arithmetic, so the replay cannot drift with
+    * aggregation order the way FP k-means would. Validated cross-engine
+    * (tools-side prototype) at both gate scales before wiring. */
+  def q75(dim: Int = 64, m: Int = 8, ksub: Int = 16, iters: Int = 2,
+          q: Int = 5, k: Int = 10): String = {
+    val dsub = dim / m
+    def dot(a: String, b: String) =
+      s"list_reduce(list_transform(range(1, ${dim + 1}), i -> ($a)[i] * ($b)[i]), (x, y) -> x + y)"
+    s"""WITH RECURSIVE
+       |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |lat AS (SELECT vec_id, i-1 AS dim, floor(e[i]*1000000.0 + 0.5)::BIGINT AS q
+       |        FROM v, range(1, ${dim + 1}) r(i)),
+       |lsub AS (SELECT vec_id, dim // $dsub AS sub, dim % $dsub AS sd, q FROM lat),
+       |init AS (SELECT sub, row_number() OVER (PARTITION BY sub, sd ORDER BY vec_id) - 1 AS cid, sd, q AS c
+       |         FROM lsub WHERE vec_id IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT $ksub)),
+       |km(it, sub, cid, sd, c) AS (
+       |  SELECT 0, sub, cid, sd, c FROM init
+       |  UNION ALL
+       |  (WITH cur AS (SELECT * FROM km WHERE it < $iters),
+       |   d AS (SELECT l.vec_id, l.sub, cur.cid, cur.it, sum((l.q - cur.c)*(l.q - cur.c)) AS dist
+       |         FROM lsub l JOIN cur ON l.sub = cur.sub AND l.sd = cur.sd
+       |         GROUP BY 1, 2, 3, 4),
+       |   a AS (SELECT vec_id, sub, it, (min(dist::BIGINT * $ksub + cid) % $ksub)::BIGINT AS cid
+       |         FROM d GROUP BY 1, 2, 3),
+       |   upd AS (SELECT a.it + 1 AS it, a.sub, a.cid, l.sd,
+       |             (sum(l.q) // count(*))::BIGINT AS c
+       |           FROM a JOIN lsub l ON a.vec_id = l.vec_id AND a.sub = l.sub
+       |           GROUP BY 1, 2, 3, 4)
+       |   SELECT cur.it + 1, cur.sub, cur.cid, cur.sd, coalesce(upd.c, cur.c)
+       |   FROM cur LEFT JOIN upd ON upd.it = cur.it + 1 AND upd.sub = cur.sub
+       |        AND upd.cid = cur.cid AND upd.sd = cur.sd)
+       |),
+       |fin AS (SELECT sub, cid, sd, c FROM km WHERE it = $iters),
+       |dd AS (SELECT l.vec_id, l.sub, f.cid, sum((l.q - f.c)*(l.q - f.c)) AS dist
+       |       FROM lsub l JOIN fin f ON l.sub = f.sub AND l.sd = f.sd
+       |       GROUP BY 1, 2, 3),
+       |code AS (SELECT vec_id, sub, (min(dist::BIGINT * $ksub + cid) % $ksub)::BIGINT AS cid
+       |         FROM dd GROUP BY 1, 2),
+       |rv AS (SELECT c2.vec_id, list(f.c ORDER BY c2.sub * $dsub + f.sd) AS rl
+       |       FROM code c2 JOIN fin f ON c2.sub = f.sub AND c2.cid = f.cid
+       |       GROUP BY 1),
+       |rd AS (SELECT vec_id, list_transform(rl, x -> x::DOUBLE / 1000000.0) AS r FROM rv),
+       |qs AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < $q),
+       |sc AS (SELECT qs.qid, rd.vec_id,
+       |         ${dot("qs.qe", "rd.r")} / (sqrt(${dot("qs.qe", "qs.qe")}) * sqrt(${dot("rd.r", "rd.r")})) AS cos
+       |       FROM rd CROSS JOIN qs),
+       |rk AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM sc)
+       |SELECT qid, vec_id, rank::INT AS rank FROM rk WHERE rank <= $k""".stripMargin
+  }
+
   /** graft.text.Dedup.simhash64 over the `documents` table → CTE text
     * defining `sim(doc_id, sh)` (sh as UBIGINT; bit-identical to the Scala
     * signed long). */

@@ -128,6 +128,10 @@ object SparkEntry {
     // AnnSparkSpec on planted clusters
     "q69_ann_ivf_sq8" -> ((s: SparkSession, d: String) =>
       Ann.ivfSqTopK(s, d, nlist = 16, nprobe = 16)),
+    // product quantization trained on the e6 integer lattice: every Lloyd
+    // sum is exact integer arithmetic (merge-order-free at any parallelism),
+    // so the ENTIRE pipeline — training included — replays in the oracle
+    "q75_ann_pq" -> ((s: SparkSession, d: String) => Ann.pqTopK(s, d)),
     // SemDeDup (cluster-then-dedup over embeddings) at nlist = 1: a single
     // cluster cannot change the answer, so the verdict list must equal exact
     // all-pairs semantic dedup (closure oracle); the clustered path's
@@ -767,6 +771,7 @@ object SparkEntry {
     "q66_ann_sq8" -> OracleSql.q66(),
     // IVF+SQ8 at full probe ≡ exhaustive SQ8 — same relation by definition
     "q69_ann_ivf_sq8" -> OracleSql.q66(),
+    "q75_ann_pq" -> OracleSql.q75(),
     "q65_ann_neardup_lsh_tier" -> OracleSql.q65(900, 0.95),
     "q73_semdedup" -> OracleSql.q73(0.45),
     // sketch queries verified by a REAL oracle: OracleSql reproduces the

@@ -517,6 +517,149 @@ object Ann {
     cents
   }
 
+  /** Product quantization (Jégou et al. 2011) over the INTEGER LATTICE —
+    * the third memory tier after SQ8 and IVF+SQ8: each vector stores only
+    * `m` sub-codebook indices (m=8, ksub=16 → 4 bytes vs 512, a 128×
+    * smaller resident index). The twist that makes it verifiable AND
+    * cluster-stable: codebooks are trained by Lloyd's algorithm on the
+    * e6-QUANTIZED integer lattice (`floor(x·1e6 + 0.5)`), so every training
+    * sum is exact 64-bit integer arithmetic — merge-order-free, hence
+    * bit-identical at ANY partitioning/parallelism (FP k-means is not: its
+    * centroid sums depend on partition boundaries, which is why q55's IVF
+    * had to pin a driver-side reduction order), and exactly replayable by
+    * the q75 DuckDB oracle (assignment = integer argmin with the
+    * `D·ksub + j` tie-encoding, update = floor-div centroid means, empty
+    * clusters keep their centroid). Scoring reconstructs the 64-dim vector
+    * from the broadcast codebooks and applies the exact q66 cosine kernel
+    * (production would precompute per-query ADC tables — an equivalent-up-
+    * to-FP-regrouping optimization, documented not taken, since the oracle
+    * pins the reconstruction form). Training is `iters` scans emitting
+    * m·ksub·(dsub+1) integer partials per partition straight to the driver;
+    * search is ONE scan with per-partition bounded heaps. Recall vs full
+    * precision is pinned separately in AnnSparkSpec on planted clusters —
+    * uniform-random vectors are PQ's worst case (measured ~0.38@10 there),
+    * quality is a metric, never hidden in the oracle. */
+  def pqTopK(spark: SparkSession, dir: String, q: Int = 5, k: Int = 10,
+             m: Int = 8, ksub: Int = 16, iters: Int = 2): DataFrame =
+    pqTopKFrom(loadVecs(spark, dir), queriesFrom(spark, dir, q), k, m, ksub, iters)
+
+  /** One sub-quantizer assignment: exact integer argmin of the L2 distance
+    * on the lattice, ties to the lowest centroid index via the
+    * `D·ksub + j` key (|lattice| ≤ ~6e5 on unit-scale embeddings keeps
+    * D·ksub ≪ 2^63; the oracle uses the identical encoding). */
+  private def pqAssign(cs: Array[Array[Array[Long]]], lat: Array[Long],
+                       s: Int, dsub: Int): Int = {
+    val ksub = cs(s).length
+    var best = 0; var bestKey = Long.MaxValue
+    var j = 0
+    while (j < ksub) {
+      var dd = 0L; var d = 0
+      while (d < dsub) {
+        val df = lat(s * dsub + d) - cs(s)(j)(d)
+        dd += df * df; d += 1
+      }
+      val key = dd * ksub + j
+      if (key < bestKey) { bestKey = key; best = j }
+      j += 1
+    }
+    best
+  }
+
+  def pqTopKFrom(vecs: DataFrame, queries: Seq[EmbQuery], k: Int,
+                 m: Int, ksub: Int, iters: Int = 2): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val dim = queries.head.vec.length
+    val dsub = dim / m
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val mm = m; val kss = ksub; val dss = dsub
+    val lats = vecs.as[(Long, Array[Double])].map { case (id, v) =>
+      (id, v.map(x => math.floor(x * 1e6 + 0.5).toLong))
+    }
+    // init: the ksub lowest vec_ids' subvectors (replayable seed choice)
+    var cents: Array[Array[Array[Long]]] = {
+      val seeds = lats.orderBy(col("_1")).limit(ksub).collect().sortBy(_._1).map(_._2)
+      Array.tabulate(m)(s => Array.tabulate(ksub)(j =>
+        java.util.Arrays.copyOfRange(seeds(j), s * dsub, (s + 1) * dsub)))
+    }
+    for (_ <- 0 until iters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      // integer partials: merge-order-free by construction, any reduce order
+      val partials = lats.mapPartitions { it =>
+        val cs = bc.value
+        val sums = Array.fill(mm, kss)(new Array[Long](dss))
+        val cnts = Array.ofDim[Long](mm, kss)
+        it.foreach { case (_, lat) =>
+          var s = 0
+          while (s < mm) {
+            val j = pqAssign(cs, lat, s, dss)
+            cnts(s)(j) += 1
+            var d = 0
+            while (d < dss) { sums(s)(j)(d) += lat(s * dss + d); d += 1 }
+            s += 1
+          }
+        }
+        (for { s <- (0 until mm).iterator; j <- (0 until kss).iterator if cnts(s)(j) > 0 }
+          yield (s, j, sums(s)(j), cnts(s)(j)))
+      }.collect()
+      val next = cents.map(_.map(_.clone()))
+      partials.groupBy(p => (p._1, p._2)).foreach { case ((s, j), ps) =>
+        val acc = new Array[Long](dsub); var n = 0L
+        ps.foreach { case (_, _, sv, c) =>
+          var d = 0
+          while (d < dsub) { acc(d) += sv(d); d += 1 }
+          n += c
+        }
+        next(s)(j) = acc.map(x => Math.floorDiv(x, n)) // floor (matches SQL //)
+      }
+      cents = next
+    }
+    // one search scan: assign final codes, reconstruct, exact q66 kernel
+    val bcC = spark.sparkContext.broadcast(cents)
+    val bcQ = spark.sparkContext.broadcast(queries.toArray)
+    val kk = k
+    val partial = lats.mapPartitions { it =>
+      val cs = bcC.value; val qs = bcQ.value
+      val qn = qs.map(qq => math.sqrt(dot(qq.vec, qq.vec)))
+      val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
+      val heaps = Array.fill(qs.length)(
+        scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord))
+      val recon = new Array[Double](mm * dss)
+      it.foreach { case (id, lat) =>
+        var s = 0
+        while (s < mm) {
+          val j = pqAssign(cs, lat, s, dss)
+          var d = 0
+          while (d < dss) { recon(s * dss + d) = cs(s)(j)(d).toDouble / 1e6; d += 1 }
+          s += 1
+        }
+        var rr = 0.0; var i = 0
+        while (i < recon.length) { rr += recon(i) * recon(i); i += 1 }
+        val rn = math.sqrt(rr)
+        var qi = 0
+        while (qi < qs.length) {
+          val qv = qs(qi).vec
+          var sd = 0.0; i = 0
+          while (i < recon.length) { sd += qv(i) * recon(i); i += 1 }
+          val c = sd / (qn(qi) * rn)
+          val key = (-c, id)
+          val h = heaps(qi)
+          if (h.size < kk) h.enqueue(key)
+          else if (ord.lt(key, h.head)) { h.dequeue(); h.enqueue(key) }
+          qi += 1
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, i) =>
+        h.iterator.map { case (nc, id) => (qs(i).qid, id, nc) }
+      }
+    }.toDF("qid", "vec_id", "neg_cos")
+    partial.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("neg_cos"), col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("rank"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication"): embedding-level dedup that
     * bounds the quadratic by CLUSTERING first — k-means over the corpus,

@@ -585,15 +585,18 @@ object Dedup {
                     w: Int = 3, minOverlapBp: Long = 2000L): DataFrame = {
     import spark.implicits._
     val ww = w
-    val d = table(spark, dir, "documents")
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    // filter BEFORE the typed shingling map — a predicate above mapPartitions
+    // cannot push past it, so each side's doc_id range reaches the parquet
+    // scan (PushedFilters) and neither pass shingles the other side's docs
+    def shingled(pred: org.apache.spark.sql.Column) = table(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).filter(pred).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) => (id, shingleHashes(text, ww)) })
       .toDF("doc_id", "sh")
-    val evalSet = d.filter(col("doc_id") < evalMax)
+    val evalSet = shingled(col("doc_id") < evalMax)
       .select(explode(col("sh")).as("g")).distinct()
       .as[Long].collect().toSet
     val bcEval = spark.sparkContext.broadcast(evalSet)
-    d.filter(col("doc_id") >= evalMax).as[(Long, Array[Long])]
+    shingled(col("doc_id") >= evalMax).as[(Long, Array[Long])]
       .map { case (id, shs) =>
         val ev = bcEval.value
         var overlap = 0; var i = 0

@@ -256,6 +256,46 @@ class AnnSparkSpec extends AnyFunSuite {
     assert(part == want, s"IVF+SQ8 nprobe=3 missed: ${(want -- part).take(5)}")
   }
 
+  test("PQ: lattice training is partitioning-invariant; planted-cluster recall; codes compress") {
+    import spark.implicits._
+    val r = new Prop.Rng(37)
+    val dim = 16
+    def noisy(center: Array[Double], eps: Double): Array[Double] =
+      center.map(c => c + r.double(-eps, eps))
+    val centers = Array.fill(4)(Array.fill(dim)(r.double(-0.5, 0.5)))
+    val rows: Seq[(Long, Array[Double])] =
+      centers.zipWithIndex.map { case (c, i) => (i.toLong, c) }.toSeq ++
+        (0 until 120).map(i => (100L + i, noisy(centers(i % 4), 0.02))) ++
+        (0 until 200).map(i => (1000L + i, Array.fill(dim)(r.double(-0.5, 0.5))))
+    val queries = centers.zipWithIndex.map { case (c, i) => Ann.EmbQuery(i.toLong, c) }.toSeq
+    // THE integer-lattice claim: identical output at 1, 3 and 13 partitions
+    // (FP k-means would drift — centroid sums change with partition bounds)
+    val outs = Seq(1, 3, 13).map { p =>
+      val vecs = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(x => org.apache.spark.sql.Row(x._1, x._2.toSeq)), p),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)))))
+      Ann.pqTopKFrom(vecs, queries, k = 10, m = 4, ksub = 16)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+    }
+    assert(outs(0) == outs(1) && outs(1) == outs(2),
+      s"partitioning changed PQ output: ${(outs(0) -- outs(1)).take(3)}")
+    // planted clusters: each center-query's top-10 stays inside its cluster
+    // (PQ reconstruction preserves cluster geometry even at 4x16 codebooks)
+    val clusterIds = (0 until 4).map(ci =>
+      ci -> (Set(ci.toLong) ++ (0 until 120).collect {
+        case i if i % 4 == ci => 100L + i
+      }.toSet)).toMap
+    queries.foreach { qq =>
+      val got = outs(0).collect { case (qid, vid, _) if qid == qq.qid => vid }
+      val own = clusterIds(qq.qid.toInt)
+      val hits = got.count(own.contains)
+      assert(hits >= 9, s"query ${qq.qid}: only $hits/10 from its cluster")
+    }
+  }
+
   test("SemDeDup: nlist=1 equals exact all-pairs dedup; clustered path keeps recall on separated clusters") {
     import spark.implicits._
     val r = new Prop.Rng(31)
