@@ -108,6 +108,14 @@ object SparkEntry {
     "q54_mix_allocation" -> (TextOps.mixAllocation _),
     // ANN over embeddings
     "q30_ann_brute" -> ((s: SparkSession, d: String) => Ann.bruteTopK(s, d)),
+    // metadata-FILTERED vector search: top-k restricted to label = 3; the
+    // predicate reaches the parquet scan (filter-then-search, not post-
+    // filtering which can return < k under selective filters)
+    "q76_ann_filtered" -> ((s: SparkSession, d: String) => Ann.filteredTopK(s, d)),
+    // kNN-graph construction: every vector's exact top-4 neighbors via the
+    // q44 triangle block decomposition with per-vector bounded heaps — the
+    // exchange after the quadratic is N·blocks·k rows, never N²
+    "q77_knn_graph" -> ((s: SparkSession, d: String) => Ann.knnGraph(s, d)),
     "q31_ann_lsh" -> ((s: SparkSession, d: String) => Ann.lshTopK(s, d)),
     // IVF through its inverted-list plan at FULL probe: every list is
     // scanned, so the relation must equal brute-force exactly (q30's oracle)
@@ -328,6 +336,30 @@ object SparkEntry {
          d AS (SELECT q.qid, v.vec_id, list_cosine_similarity(q.qe, v.e) AS c FROM v CROSS JOIN q),
          r AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rk FROM d)
          SELECT qid, vec_id, rk::INT AS rank FROM r WHERE rk <= 10"""
+
+  /** q76: the brute oracle restricted to label = 3 candidates (queries stay
+    * the global first-5 vectors — the filter constrains CANDIDATES). */
+  private val filteredTopKOracle =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5),
+         f AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE label = 3),
+         d AS (SELECT q.qid, f.vec_id, list_cosine_similarity(q.qe, f.e) AS c FROM f CROSS JOIN q),
+         r AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rk FROM d)
+         SELECT qid, vec_id, rk::INT AS rank FROM r WHERE rk <= 10"""
+
+  /** q77: all-pairs kNN graph — the q44 left-to-right cosine kernel over
+    * every ordered pair (self excluded), top-4 per vector by
+    * (cos DESC, nbr). The engine computes the same relation through the
+    * triangle block decomposition + per-group bounded heaps. */
+  private val knnGraphOracle = {
+    def dot(a: String, b: String) =
+      s"list_reduce(list_transform(range(1, 65), i -> ($a)[i] * ($b)[i]), (x, y) -> x + y)"
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e, sqrt(${dot("embedding::DOUBLE[]", "embedding::DOUBLE[]")}) AS n FROM embeddings),
+       d AS (SELECT l.vec_id, r.vec_id AS nbr, ${dot("l.e", "r.e")} / (l.n * r.n) AS c
+             FROM v l JOIN v r ON l.vec_id <> r.vec_id),
+       rk AS (SELECT vec_id, nbr, row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, nbr) AS rank FROM d)
+       SELECT vec_id, nbr, rank::INT AS rank FROM rk WHERE rank <= 4"""
+  }
 
   private val pts =
     s"SELECT event_id, event_type, user_id, value, value % 360.0 - 180.0 AS lon, (user_id % 181 - 90)::DOUBLE AS lat FROM events"
@@ -772,6 +804,8 @@ object SparkEntry {
     // IVF+SQ8 at full probe ≡ exhaustive SQ8 — same relation by definition
     "q69_ann_ivf_sq8" -> OracleSql.q66(),
     "q75_ann_pq" -> OracleSql.q75(),
+    "q76_ann_filtered" -> filteredTopKOracle,
+    "q77_knn_graph" -> knnGraphOracle,
     "q65_ann_neardup_lsh_tier" -> OracleSql.q65(900, 0.95),
     "q73_semdedup" -> OracleSql.q73(0.45),
     // sketch queries verified by a REAL oracle: OracleSql reproduces the

@@ -38,12 +38,31 @@ object Ann {
       .sortBy(_.qid).toSeq
 
   /** Exact top-k by (cosine desc, vec_id asc); returns (qid, vec_id, rank). */
-  def bruteTopK(spark: SparkSession, dir: String, q: Int = 5, k: Int = 10): DataFrame = {
+  def bruteTopK(spark: SparkSession, dir: String, q: Int = 5, k: Int = 10): DataFrame =
+    bruteTopKOver(spark, loadVecs(spark, dir), queriesFrom(spark, dir, q), k)
+
+  /** Metadata-FILTERED vector search — top-k restricted to candidates
+    * matching a structured predicate (the `label` column), the filtered-ANN
+    * shape every retrieval stack needs (filter-then-search; post-filtering a
+    * top-k can return < k or nothing when the filter is selective). The
+    * predicate is applied BEFORE the scoring scan, so it reaches the parquet
+    * scan as a PushedFilter and non-qualifying row groups never decode —
+    * at 10^12 vectors with a partition-aligned label this is partition
+    * pruning, not just row skipping. Same exact kernel as [[bruteTopK]]. */
+  def filteredTopK(spark: SparkSession, dir: String, q: Int = 5, k: Int = 10,
+                   label: Int = 3): DataFrame = {
+    val cands = table(spark, dir, "embeddings")
+      .filter(col("label") === label)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    bruteTopKOver(spark, cands, queriesFrom(spark, dir, q), k)
+  }
+
+  private def bruteTopKOver(spark: SparkSession, vecs: DataFrame,
+                            queries: Seq[EmbQuery], k: Int): DataFrame = {
     import spark.implicits._
-    val queries = queriesFrom(spark, dir, q)
     val bc = spark.sparkContext.broadcast(queries.toArray)
     val kk = k
-    val partial = loadVecs(spark, dir).mapPartitions { it =>
+    val partial = vecs.mapPartitions { it =>
       val qs = bc.value
       // max-heap on (negCos, id): head = worst of the kept k
       val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
@@ -172,6 +191,73 @@ object Ann {
       }
       out.iterator
     }.toDF("a", "b", "cos_e4")
+  }
+
+  /** kNN-GRAPH construction — every vector's exact top-k neighbors, the
+    * graph that clustering, SemDeDup-style analyses and graph-based ANN
+    * indexes (HNSW/NSG) are built from. Same triangle block decomposition as
+    * [[cosineNearDupPairs]] (each unordered block pair is one group, each
+    * vector replicates to `blocks` groups), but instead of emitting
+    * threshold pairs each group keeps PER-VECTOR bounded heaps for BOTH
+    * sides and emits at most k candidates per vector per group — the
+    * exchange after the quadratic is ≤ N·blocks·k rows, never N². A global
+    * window reduces the per-group candidates to the true top-k (every
+    * other vector is met exactly once across groups, so the union of group
+    * heaps contains the global top-k). Cosine = dot/(‖a‖·‖b‖) with
+    * per-vector norms computed once (the q44 kernel, replicated in the q77
+    * oracle's all-pairs window). */
+  def knnGraph(spark: SparkSession, dir: String, k: Int = 4, blocks: Int = 8): DataFrame = {
+    import spark.implicits._
+    val b = blocks; val kk = k
+    val withNorm = loadVecs(spark, dir).as[(Long, Array[Double])]
+      .mapPartitions(_.map { case (id, v) => (id, v, math.sqrt(dot(v, v))) })
+    val keyed = withNorm.flatMap { case (id, v, n) =>
+      val p = (id % b).toInt
+      Iterator.range(p, b).map(j => (p * b + j, id, v, n)) ++
+        Iterator.range(0, p).map(i => (i * b + p, id, v, n))
+    }
+    val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
+    val partial = keyed.groupByKey(_._1).flatMapGroups { (key, it) =>
+      val bi = key / b; val bj = key % b
+      val rows = new scala.collection.mutable.ArrayBuffer[(Long, Array[Double], Double)]
+      val cols = new scala.collection.mutable.ArrayBuffer[(Long, Array[Double], Double)]
+      it.foreach { case (_, id, v, n) =>
+        val p = (id % b).toInt
+        if (p == bi) rows += ((id, v, n))
+        if (p == bj && bi != bj) cols += ((id, v, n))
+      }
+      val left = rows.toArray
+      val right = if (bi == bj) left else cols.toArray
+      val heaps = new scala.collection.mutable.HashMap[
+        Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]()
+      def offer(id: Long, key: (Double, Long)): Unit = {
+        val h = heaps.getOrElseUpdate(id,
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord))
+        if (h.size < kk) h.enqueue(key)
+        else if (ord.lt(key, h.head)) { h.dequeue(); h.enqueue(key) }
+      }
+      var x = 0
+      while (x < left.length) {
+        val (ida, va, na) = left(x)
+        var y = if (bi == bj) x + 1 else 0
+        while (y < right.length) {
+          val (idb, vb, nb) = right(y)
+          val c = dot(va, vb) / (na * nb)
+          offer(ida, (-c, idb))
+          offer(idb, (-c, ida))
+          y += 1
+        }
+        x += 1
+      }
+      heaps.iterator.flatMap { case (id, h) =>
+        h.iterator.map { case (nc, nbr) => (id, nbr, nc) }
+      }
+    }.toDF("vec_id", "nbr", "neg_cos")
+    partial.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id")).orderBy(col("neg_cos"), col("nbr"))))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("nbr"), col("rank"))
   }
 
   /** LSH-bucketed near-dup tier — the scale path of [[cosineNearDupPairs]]

@@ -256,6 +256,49 @@ class AnnSparkSpec extends AnyFunSuite {
     assert(part == want, s"IVF+SQ8 nprobe=3 missed: ${(want -- part).take(5)}")
   }
 
+  test("filteredTopK: only qualifying candidates ranked; predicate reaches the scan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val r = new Prop.Rng(41)
+    val dim = 8
+    val rows = (0 until 300).map(i => (i.toLong, Array.fill(dim)(r.double(-1, 1)), i % 5))
+    val dir = java.nio.file.Files.createTempDirectory("annfilter").toString
+    rows.toDF("vec_id", "embedding", "label").write.parquet(s"$dir/embeddings.parquet")
+    val got = Ann.filteredTopK(spark, dir, q = 3, k = 5, label = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+    val queries = rows.filter(_._1 < 3)
+    val want = queries.flatMap { case (qid, qv, _) =>
+      rows.filter(_._3 == 2).map { case (id, v, _) => (id, Ann.cosine(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(5).zipWithIndex
+        .map { case ((id, _), i) => (qid, id, i + 1) }
+    }.toSet
+    assert(got == want)
+    // the label predicate must be a pushed parquet filter, not a post-scan one
+    val plan = Ann.filteredTopK(spark, dir, q = 3, k = 5, label = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(label,2)"),
+      s"label filter not pushed:\n${plan.take(800)}")
+  }
+
+  test("knnGraph equals plain-loop top-k neighbors for odd/edge block counts") {
+    import spark.implicits._
+    val r = new Prop.Rng(43)
+    val dim = 8
+    val rows = (0 until 120).map(i => (i.toLong, Array.fill(dim)(r.double(-1, 1))))
+    val dir = java.nio.file.Files.createTempDirectory("knngraph").toString
+    rows.toDF("vec_id", "embedding").write.parquet(s"$dir/embeddings.parquet")
+    val want = rows.flatMap { case (id, v) =>
+      rows.filter(_._1 != id).map { case (nid, nv) => (nid, Ann.cosine(v, nv)) }
+        .sortBy { case (nid, c) => (-c, nid) }.take(4).zipWithIndex
+        .map { case ((nid, _), i) => (id, nid, i + 1) }
+    }.toSet
+    for (blocks <- Seq(1, 3, 8)) {
+      val got = Ann.knnGraph(spark, dir, k = 4, blocks = blocks)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+      assert(got == want, s"blocks=$blocks: missed=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    }
+  }
+
   test("PQ: lattice training is partitioning-invariant; planted-cluster recall; codes compress") {
     import spark.implicits._
     val r = new Prop.Rng(37)
