@@ -741,6 +741,87 @@ object OracleSql {
        |SELECT qid, vec_id, rank::INT AS rank FROM rk WHERE rank <= $k""".stripMargin
   }
 
+  /** graft.multimodal.PhashDedup.plantedPhashCorpus replayed analytically →
+    * CTE text defining `corp(id, g, ph, caption)` with ph as UBIGINT
+    * (bit-identical to the Scala signed long: xor/shift/& are
+    * representation-agnostic; only ids and hamming counts leave the CTE).
+    * n is scale-coupled to the gate input: (SELECT count(*) FROM documents),
+    * matching the engine's `documents.count()`. Validated cross-engine in a
+    * python+duckdb prototype (pairs AND per-row corpus values) before
+    * wiring, per the q75 discipline. */
+  def phashCorpusCte: String = {
+    val n = "(SELECT count(*) FROM documents)"
+    s"""ids AS (SELECT unnest(range(0, $n)) AS id),
+       |hp AS (SELECT id, id // 3 AS g, id % 3 AS r,
+       |         ${mix("(id // 3 + 30000000)::UBIGINT")} AS base,
+       |         (${mix("(id * 8 + 1 + 40000000)::UBIGINT")} & 63)::INT AS p1,
+       |         (${mix("(id * 8 + 2 + 40000000)::UBIGINT")} & 63)::INT AS p2,
+       |         ((${mix("(id + 50000000)::UBIGINT")} & 7) = 0) AS alt
+       |       FROM ids),
+       |corp AS (SELECT id, g,
+       |         xor(xor(base, CASE WHEN r >= 1 THEN (1::UBIGINT << p1) ELSE 0::UBIGINT END),
+       |                       CASE WHEN r =  2 THEN (1::UBIGINT << p2) ELSE 0::UBIGINT END) AS ph,
+       |         'cap-' || g::VARCHAR || (CASE WHEN alt THEN '-alt' ELSE '' END) AS caption
+       |       FROM hp)""".stripMargin
+  }
+
+  /** Replica oracle for q78 (phash hamming near-dup): exact ALL-PAIRS
+    * bit_count(xor) ≤ maxHam over the replayed corpus — candidate-free, so
+    * a hash match proves the engine's pigeonhole+bounded-bucket path finds
+    * exactly the full relation (the 4-segment guarantee radius is 3). */
+  def q78(maxHam: Int = 3): String =
+    s"""WITH ${phashCorpusCte}
+       |SELECT l.id AS a, r.id AS b, bit_count(xor(l.ph, r.ph))::INT AS ham
+       |FROM corp l JOIN corp r ON l.id < r.id
+       |WHERE bit_count(xor(l.ph, r.ph)) <= $maxHam""".stripMargin
+
+  /** Replica oracle for q79 (per-image dup decision + caption conflict):
+    * recursive-CTE transitive closure over the all-pairs ham≤3 edges (the
+    * q63/q73 oracle family — a different algorithm than the engine's label
+    * propagation), min-id representative, conflict = component carries >1
+    * distinct caption; singletons keep trivially with conflict 0. */
+  def q79(maxHam: Int = 3): String =
+    s"""WITH RECURSIVE ${phashCorpusCte},
+       |p AS (SELECT l.id AS a, r.id AS b FROM corp l JOIN corp r ON l.id < r.id
+       |      WHERE bit_count(xor(l.ph, r.ph)) <= $maxHam),
+       |ed AS (SELECT a AS u, b AS w FROM p UNION ALL SELECT b, a FROM p),
+       |verts AS (SELECT DISTINCT u AS id FROM ed),
+       |reach(id, rr) AS (
+       |  SELECT id, id FROM verts
+       |  UNION
+       |  SELECT ed.u, reach.rr FROM ed JOIN reach ON reach.id = ed.w
+       |),
+       |lab AS (SELECT id, min(rr) AS label FROM reach GROUP BY 1),
+       |m AS (SELECT corp.id, coalesce(lab.label, corp.id) AS component, corp.caption
+       |      FROM corp LEFT JOIN lab ON corp.id = lab.id),
+       |cf AS (SELECT component, (count(DISTINCT caption) > 1) AS conflict FROM m GROUP BY 1)
+       |SELECT m.id AS image_id, m.component,
+       |  (CASE WHEN m.id = m.component THEN 1 ELSE 0 END)::BIGINT AS keep,
+       |  (CASE WHEN cf.conflict THEN 1 ELSE 0 END)::BIGINT AS conflict
+       |FROM m JOIN cf ON m.component = cf.component""".stripMargin
+
+  /** Replica oracle for q80 (exact-rational BM25 top terms): replays the
+    * whole scoring pipeline in HUGEINT — tf/dl/df/corpus aggregates over
+    * the same space-split tokens, the cleared-denominator num/den products,
+    * and the 128-bit `(2·10⁶·num + den) // (2·den)` floor that both engines
+    * define score_e6 by. No FP anywhere (the engine omits BM25's ln for
+    * exactly this reason — see TextOps.bm25TopTerms). */
+  def q80(topK: Int = 5): String =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*)::HUGEINT AS tf FROM tok GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, count(*)::HUGEINT AS dl FROM tok GROUP BY 1),
+       |gs AS (SELECT count(*)::HUGEINT AS d, sum(dl)::HUGEINT AS s FROM dl),
+       |df AS (SELECT term, count(*)::HUGEINT AS df FROM tf GROUP BY 1),
+       |sc AS (SELECT tf.doc_id, tf.term,
+       |         (22 * tf.tf * gs.s * (2 * gs.d - 2 * df.df + 1)) AS num,
+       |         ((10 * tf.tf * gs.s + 3 * gs.s + 9 * dl.dl * gs.d) * (2 * df.df + 1)) AS den
+       |       FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN gs),
+       |fin AS (SELECT doc_id, term, ((2000000 * num + den) // (2 * den))::BIGINT AS score_e6 FROM sc),
+       |rk AS (SELECT doc_id, term, score_e6,
+       |         row_number() OVER (PARTITION BY doc_id ORDER BY score_e6 DESC, term) AS rank
+       |       FROM fin)
+       |SELECT doc_id, term, score_e6, rank::INT AS rank FROM rk WHERE rank <= $topK""".stripMargin
+
   /** graft.text.Dedup.simhash64 over the `documents` table → CTE text
     * defining `sim(doc_id, sh)` (sh as UBIGINT; bit-identical to the Scala
     * signed long). */

@@ -106,6 +106,9 @@ object SparkEntry {
     "q52_quality_band_filter" -> (TextOps.qualityBandFilter _),
     "q53_mix_sample" -> (TextOps.mixSample _),
     "q54_mix_allocation" -> (TextOps.mixAllocation _),
+    // exact-rational BM25 term salience (ln deliberately omitted — the
+    // score is one 128-bit integer floor both engines replay exactly)
+    "q80_bm25_top_terms" -> ((s: SparkSession, d: String) => TextOps.bm25TopTerms(s, d)),
     // ANN over embeddings
     "q30_ann_brute" -> ((s: SparkSession, d: String) => Ann.bruteTopK(s, d)),
     // metadata-FILTERED vector search: top-k restricted to label = 3; the
@@ -116,6 +119,22 @@ object SparkEntry {
     // q44 triangle block decomposition with per-vector bounded heaps — the
     // exchange after the quadratic is N·blocks·k rows, never N²
     "q77_knn_graph" -> ((s: SparkSession, d: String) => Ann.knnGraph(s, d)),
+    // IMAGE near-dup by perceptual hash: pigeonhole segment join + exact
+    // bit_count verify over the planted analytic corpus (n scale-coupled to
+    // the documents table); the oracle is candidate-free all-pairs, so the
+    // hash proves the bucketed path's recall is exactly 1.0 at ham<=3.
+    // corpus materialized once — consumed by both sides of the segment join
+    "q78_phash_neardup" -> ((s: SparkSession, d: String) =>
+      graft.multimodal.PhashDedup.phashNearDupPairs(
+        graft.multimodal.PhashDedup.plantedPhashCorpus(
+          s, graft.Session.table(s, d, "documents").count()).localCheckpoint())),
+    // per-image dedup decision + caption-conflict flag (components over the
+    // phash pair graph; conflicts = near-dup images with disagreeing
+    // captions — label noise to quarantine, not silently dedup)
+    "q79_phash_dup_decisions" -> ((s: SparkSession, d: String) =>
+      graft.multimodal.PhashDedup.phashDupDecisions(
+        graft.multimodal.PhashDedup.plantedPhashCorpus(
+          s, graft.Session.table(s, d, "documents").count()).localCheckpoint())),
     "q31_ann_lsh" -> ((s: SparkSession, d: String) => Ann.lshTopK(s, d)),
     // IVF through its inverted-list plan at FULL probe: every list is
     // scanned, so the relation must equal brute-force exactly (q30's oracle)
@@ -806,6 +825,9 @@ object SparkEntry {
     "q75_ann_pq" -> OracleSql.q75(),
     "q76_ann_filtered" -> filteredTopKOracle,
     "q77_knn_graph" -> knnGraphOracle,
+    "q78_phash_neardup" -> OracleSql.q78(),
+    "q79_phash_dup_decisions" -> OracleSql.q79(),
+    "q80_bm25_top_terms" -> OracleSql.q80(),
     "q65_ann_neardup_lsh_tier" -> OracleSql.q65(900, 0.95),
     "q73_semdedup" -> OracleSql.q73(0.45),
     // sketch queries verified by a REAL oracle: OracleSql reproduces the

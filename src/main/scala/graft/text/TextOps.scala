@@ -228,4 +228,54 @@ object TextOps {
       .agg(count(lit(1)).as("n"))
       .toDF("fp_bucket", "n")
   }
+
+  /** BM25 term salience, EXACT-RATIONAL variant — per document, the topK
+    * highest-weighted terms under Okapi BM25 with k1 = 6/5, b = 3/4 and the
+    * Robertson idf kept as a RATIO instead of its logarithm:
+    *
+    *   weight = (D − df + ½)/(df + ½) · tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl))
+    *          = 22·tf·S·(2D − 2df + 1) / [(10·tf·S + 3·S + 9·dl·D)·(2df + 1)]
+    *
+    * after clearing denominators with avgdl = S/D (S = corpus token count,
+    * D = doc count, dl = doc length, all integers). The ln is omitted
+    * DELIBERATELY: cross-engine libm `ln` is not IEEE-pinned (the one
+    * mercator ln survives only behind a 2M-sample parity sweep), while this
+    * form is exact integer arithmetic end to end — num and den are products
+    * of counts, and the emitted `score_e6 = ⌊10⁶·num/den + ½⌋` is one
+    * 128-bit integer floor-division both engines replay digit-for-digit.
+    * Per-term ranking is order-isomorphic to standard BM25 at fixed (dl, df)
+    * tf-saturation; across terms the idf ratio spreads wider than ln but
+    * preserves the rarer-term-wins ordering.
+    *
+    * Scale shape: two token-shuffles (tf, dl — same exchange key for dl via
+    * doc_id), one term-shuffle (df), the (D, S) corpus scalars ride a
+    * broadcast 1-row crossJoin (no driver collect), and the 128-bit score
+    * map is per-row. The top-K window partitions by doc_id — the same key
+    * tf already carries. Strings shuffle once (tokens are the payload);
+    * at 10^12 rows the term dictionary would be hash-encoded first, which
+    * is q02's keytables operator composed in front. */
+  def bm25TopTerms(spark: SparkSession, dir: String, topK: Int = 5): DataFrame = {
+    import spark.implicits._
+    val tok = table(spark, dir, "documents")
+      .select(col("doc_id"), explode(toks).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val gs = dl.agg(count(lit(1)).as("d"), sum(col("dl")).as("s"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dl, "doc_id").join(dfreq, "term").crossJoin(broadcast(gs))
+      .select(col("doc_id"), col("term"), col("tf"), col("dl"), col("df"),
+        col("d"), col("s"))
+      .as[(Long, String, Long, Long, Long, Long, Long)]
+      .map { case (docId, term, f, l, dfT, dD, s) =>
+        val num = BigInt(22) * f * s * (2 * dD - 2 * dfT + 1)
+        val den = (BigInt(10) * f * s + BigInt(3) * s + BigInt(9) * l * dD) * (2 * dfT + 1)
+        // both positive, so BigInt / IS floor; ⌊x+½⌋ = (2·10⁶·num + den) / (2·den)
+        (docId, term, ((BigInt(2000000) * num + den) / (den * 2)).toLong)
+      }.toDF("doc_id", "term", "score_e6")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score_e6").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
+      .select(col("doc_id"), col("term"), col("score_e6"),
+        col("rank").cast("int").as("rank"))
+  }
 }

@@ -318,3 +318,55 @@ class SpanDedupSpec extends AnyFunSuite {
     assert(got(12L) == ((28L, 1L, 357L, 0L)))
   }
 }
+
+class Bm25Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("bm25TopTerms equals a plain-loop exact-rational replica; rarer-term-wins holds") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the cat sat on the mat"),
+      (1L, "the dog sat on the log"),
+      (2L, "quantum flux capacitor the the the"),
+      (3L, "cat cat cat dog dog quantum"),
+      (4L, "a lone document about tiles"))
+    val dir = java.nio.file.Files.createTempDirectory("bm25").toString
+    docs.toDF("doc_id", "text").withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .write.parquet(s"$dir/documents.parquet")
+    // plain-loop replica of the documented exact-rational arithmetic
+    val tokenized = docs.map { case (id, t) => id -> t.split(' ').toSeq }.toMap
+    val dD = BigInt(docs.size)
+    val s = BigInt(tokenized.values.map(_.size).sum)
+    val dfm = tokenized.values.flatMap(_.distinct).groupBy(identity).map { case (k, v) => k -> BigInt(v.size) }
+    val want = docs.flatMap { case (id, _) =>
+      val ts = tokenized(id)
+      val l = BigInt(ts.size)
+      val scored = ts.distinct.map { term =>
+        val f = BigInt(ts.count(_ == term))
+        val dfT = dfm(term)
+        val num = BigInt(22) * f * s * (2 * dD - 2 * dfT + 1)
+        val den = (BigInt(10) * f * s + BigInt(3) * s + BigInt(9) * l * dD) * (2 * dfT + 1)
+        (term, ((BigInt(2000000) * num + den) / (den * 2)).toLong)
+      }
+      scored.sortBy { case (t, sc) => (-sc, t) }.take(5).zipWithIndex
+        .map { case ((t, sc), i) => (id, t, sc, i + 1) }
+    }.toSet
+    val got = TextOps.bm25TopTerms(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3))).toSet
+    assert(got == want, s"missed=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    // 'quantum' (df=2) must outrank 'the' (df=4) in doc 2 despite tf 1 vs 3
+    val d2 = got.filter(_._1 == 2L).toSeq.sortBy(_._4).map(_._2)
+    assert(d2.indexOf("quantum") < d2.indexOf("the"), s"idf ordering violated: $d2")
+  }
+
+  test("bm25 scores are positive and rank is dense 1..k per doc") {
+    val out = TextOps.bm25TopTerms(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getLong(2) > 0L))
+    val byDoc = out.groupBy(_.getLong(0))
+    byDoc.foreach { case (_, rows) =>
+      val ranks = rows.map(_.getInt(3)).sorted.toSeq
+      assert(ranks == (1 to ranks.size), s"ranks not dense: $ranks")
+    }
+  }
+}
