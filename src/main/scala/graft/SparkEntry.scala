@@ -109,6 +109,11 @@ object SparkEntry {
     // exact-rational BM25 term salience (ln deliberately omitted — the
     // score is one 128-bit integer floor both engines replay exactly)
     "q80_bm25_top_terms" -> ((s: SparkSession, d: String) => TextOps.bm25TopTerms(s, d)),
+    // exchange-free co-located join via bucketed layout (bucketBy both fact
+    // tables on the order key, merge-hint join: zero shuffles below the
+    // join — BucketedJoinSpec holds the plan differential vs plain reads)
+    "q81_bucketed_join" -> ((s: SparkSession, d: String) =>
+      graft.ops.BucketedJoin.bucketedOrderRevenue(s, d)),
     // ANN over embeddings
     "q30_ann_brute" -> ((s: SparkSession, d: String) => Ann.bruteTopK(s, d)),
     // metadata-FILTERED vector search: top-k restricted to label = 3; the
@@ -828,6 +833,14 @@ object SparkEntry {
     "q78_phash_neardup" -> OracleSql.q78(),
     "q79_phash_dup_decisions" -> OracleSql.q79(),
     "q80_bm25_top_terms" -> OracleSql.q80(),
+    // bucketing is invisible to the relation — the oracle joins raw parquet
+    "q81_bucketed_join" ->
+      """SELECT o_orderpriority,
+            count(*) AS n_items,
+            sum(floor(l_extendedprice * 100.0 + 0.5)::BIGINT)::BIGINT AS revenue_cents,
+            sum(floor(l_quantity * 100.0 + 0.5)::BIGINT)::BIGINT AS qty_cents
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          GROUP BY 1""",
     "q65_ann_neardup_lsh_tier" -> OracleSql.q65(900, 0.95),
     "q73_semdedup" -> OracleSql.q73(0.45),
     // sketch queries verified by a REAL oracle: OracleSql reproduces the

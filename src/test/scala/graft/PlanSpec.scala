@@ -62,3 +62,38 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 }
+
+class BucketedJoinSpec extends AnyFunSuite {
+  import graft.ops.BucketedJoin
+  lazy val spark = TestSpark.spark
+
+  test("bucketed co-located join: zero exchanges below the join; plain reads shuffle; same relation") {
+    val dir = "/root/testdata/sf0.001"
+    BucketedJoin.layout(spark, dir, buckets = 4)
+    def joined(o: org.apache.spark.sql.DataFrame, l: org.apache.spark.sql.DataFrame) =
+      o.hint("merge").join(l, col("o_orderkey") === col("l_orderkey"))
+    val bucketed = joined(spark.table("graft_orders_b"), spark.table("graft_lineitem_b"))
+    val plain = joined(
+      spark.read.parquet(s"$dir/orders.parquet"),
+      spark.read.parquet(s"$dir/lineitem.parquet"))
+    val nB = bucketed.count(); val nP = plain.count() // finalize AQE plans
+    assert(nB == nP && nB > 0)
+    val pB = bucketed.queryExecution.executedPlan.toString
+    val pP = plain.queryExecution.executedPlan.toString
+    assert(pB.contains("SortMergeJoin"), s"bucketed join not SMJ:\n${pB.take(600)}")
+    assert(!pB.contains("Exchange"),
+      s"bucketed join still exchanges — co-location broken:\n${pB.take(1200)}")
+    assert(pP.contains("Exchange"),
+      "plain join shows no exchange — the differential assertion is vacuous " +
+        s"(broadcast crept in?):\n${pP.take(600)}")
+    // the layout changes the plan, never the relation
+    val rB = BucketedJoin.orderRevenueJoin(
+      spark.table("graft_orders_b"), spark.table("graft_lineitem_b"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val rP = BucketedJoin.orderRevenueJoin(
+      spark.read.parquet(s"$dir/orders.parquet"),
+      spark.read.parquet(s"$dir/lineitem.parquet"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(rB == rP)
+  }
+}
