@@ -77,4 +77,10 @@ public final class Statics {
   public static long quadCell(double lat, double lon, int zoom) {
     return graft.index.Quadkey$.MODULE$.cellIdOf(lon, lat, zoom);
   }
+
+  /** Raw splitmix64 finalizer — the engine's one hash family (also the
+   *  KMV sketch's order statistic; OracleSql.mix replicates it in SQL). */
+  public static long mix64(long x) {
+    return graft.synth.ImageSynth$.MODULE$.mix(x);
+  }
 }

@@ -72,7 +72,9 @@ object Bench {
     // builds) report in their own section: their cost is the build itself,
     // and mixing them into the query table made round-over-round per-query
     // comparison noisy (round-4 verdict, bench-hygiene item)
-    val buildNames = Set("q62_checkpoint_lineage", "q64_checkpoint_append")
+    // q81 writes both bucketed fact tables before joining — a layout build
+    val buildNames = Set("q62_checkpoint_lineage", "q64_checkpoint_append",
+      "q81_bucketed_join")
     val (builds, queries) = results.partition(r => buildNames(r._1))
     def jsonObj(rs: Seq[(String, Double)]) =
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")

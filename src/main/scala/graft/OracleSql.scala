@@ -822,6 +822,22 @@ object OracleSql {
        |       FROM fin)
        |SELECT doc_id, term, score_e6, rank::INT AS rank FROM rk WHERE rank <= $topK""".stripMargin
 
+  /** q83: the whole KMV sketch replayed in SQL — distinct splitmix64 of
+    * l_partkey, k smallest in unsigned order (the UBIGINT domain IS unsigned
+    * order), ranks, and the (k−1)·2⁶⁴ // h₍ₖ₎ estimate as one HUGEINT floor
+    * division. `h` is re-signed to match the engine's Long column. */
+  def q83(k: Int): String =
+    s"""WITH hs AS (SELECT DISTINCT ${mix("l_partkey")} AS m FROM lineitem),
+       |top AS (SELECT m FROM hs ORDER BY m LIMIT $k),
+       |r AS (SELECT m, row_number() OVER (ORDER BY m) AS rank FROM top),
+       |kth AS (SELECT max(m)::HUGEINT AS mk, count(*)::HUGEINT AS cnt FROM top)
+       |SELECT r.rank::INT AS rank,
+       |  (CASE WHEN r.m >= 9223372036854775808::UBIGINT
+       |        THEN r.m::HUGEINT - $M64::HUGEINT ELSE r.m::HUGEINT END)::BIGINT AS h,
+       |  (CASE WHEN kth.cnt < $k THEN kth.cnt
+       |        ELSE (${k - 1}::HUGEINT * $M64::HUGEINT) // kth.mk END)::BIGINT AS est_distinct
+       |FROM r, kth""".stripMargin
+
   /** graft.text.Dedup.simhash64 over the `documents` table → CTE text
     * defining `sim(doc_id, sh)` (sh as UBIGINT; bit-identical to the Scala
     * signed long). */

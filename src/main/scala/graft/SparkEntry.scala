@@ -114,6 +114,26 @@ object SparkEntry {
     // join — BucketedJoinSpec holds the plan differential vs plain reads)
     "q81_bucketed_join" -> ((s: SparkSession, d: String) =>
       graft.ops.BucketedJoin.bucketedOrderRevenue(s, d)),
+    // distributed AS-OF join (union-tag + one keyed window: one shuffle, no
+    // join explosion); oracle is DuckDB's native ASOF JOIN — a different
+    // algorithm family agreeing row-for-row
+    "q82_asof_join" -> ((s: SparkSession, d: String) =>
+      graft.ops.AsofJoin.lastPurchase(s, d)),
+    // KMV distinct sketch: k smallest distinct splitmix64 values + the
+    // (k-1)*2^64/h_k estimate — integer-exact end to end, so the oracle
+    // replays the WHOLE sketch (ranks, hashes, estimate) bit-for-bit
+    "q83_kmv_distinct" -> ((s: SparkSession, d: String) =>
+      graft.ops.Sketches.kmvDistinct(s, d)),
+    // binned range join: key+time-window theta-join rewritten as an equi
+    // join on (user, ts div W) with 2-bin left explode; oracle runs the
+    // honest inequality join (DuckDB IEJoin)
+    "q84_range_join_binned" -> ((s: SparkSession, d: String) =>
+      graft.ops.RangeJoin.priorActivity(s, d)),
+    // salted replicated join: fact salted on a non-key attribute, dim
+    // replicated S=8x, join on (key, salt) — hot-key defence; the oracle's
+    // plain join proves salting is invisible to the relation
+    "q85_salted_join" -> ((s: SparkSession, d: String) =>
+      graft.ops.SaltedJoin.revenueByType(s, d)),
     // ANN over embeddings
     "q30_ann_brute" -> ((s: SparkSession, d: String) => Ann.bruteTopK(s, d)),
     // metadata-FILTERED vector search: top-k restricted to label = 3; the
@@ -840,6 +860,31 @@ object SparkEntry {
             sum(floor(l_extendedprice * 100.0 + 0.5)::BIGINT)::BIGINT AS revenue_cents,
             sum(floor(l_quantity * 100.0 + 0.5)::BIGINT)::BIGINT AS qty_cents
           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          GROUP BY 1""",
+    // DuckDB's native ASOF JOIN (specialized partitioned sort-merge) vs the
+    // engine's union-tag window — inclusive (>=) on both sides
+    "q82_asof_join" ->
+      """SELECT e.event_id, e.event_type, p.event_id AS p_event_id,
+            epoch_us(e.ts) - epoch_us(p.ts) AS gap_us,
+            floor(p.value * 100.0 + 0.5)::BIGINT AS p_value_cents
+          FROM events e ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+            ON e.user_id = p.user_id AND e.ts >= p.ts""",
+    "q83_kmv_distinct" -> OracleSql.q83(64),
+    // the honest inequality join (IEJoin) vs the engine's binned equi-join
+    "q84_range_join_binned" ->
+      """SELECT e.event_id, count(*) AS n_prior,
+            sum(floor(p.value * 100.0 + 0.5)::BIGINT)::BIGINT AS prior_value_cents
+          FROM events e JOIN events p
+            ON p.user_id = e.user_id
+            AND epoch_us(p.ts) >= epoch_us(e.ts) - 86400000000
+            AND epoch_us(p.ts) < epoch_us(e.ts)
+          WHERE e.event_type = 'error'
+          GROUP BY 1""",
+    // plain join — the salt must be invisible to the relation
+    "q85_salted_join" ->
+      """SELECT p_type, count(*) AS n_items,
+            sum(floor(l_extendedprice * 100.0 + 0.5)::BIGINT)::BIGINT AS revenue_cents
+          FROM lineitem JOIN part ON l_partkey = p_partkey
           GROUP BY 1""",
     "q65_ann_neardup_lsh_tier" -> OracleSql.q65(900, 0.95),
     "q73_semdedup" -> OracleSql.q73(0.45),

@@ -34,6 +34,7 @@ case class SeedScalar(child: Expression, fn: String, resultType: DataType)
       case "segDLon" => Statics.segDLon(i)
       case "segDLat" => Statics.segDLat(i)
       case "mixBp" => Statics.mixBp(i)
+      case "mix64" => Statics.mix64(i)
       case "metaCs" => Statics.metaCs(i)
       case "metaVer" => Statics.metaVer(i)
     }
@@ -99,6 +100,7 @@ object SeedExprs {
   def segDLon(idx: Column): Column = co(SeedScalar(ex(idx), "segDLon", DoubleType))
   def segDLat(idx: Column): Column = co(SeedScalar(ex(idx), "segDLat", DoubleType))
   def mixBp(idx: Column): Column = co(SeedScalar(ex(idx), "mixBp", LongType))
+  def mix64(x: Column): Column = co(SeedScalar(ex(x), "mix64", LongType))
   def metaCs(idx: Column): Column = co(SeedScalar(ex(idx), "metaCs", LongType))
   def metaVer(idx: Column): Column = co(SeedScalar(ex(idx), "metaVer", LongType))
   def hexCell(lat: Column, lon: Column, res: Int): Column =

@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Session.table
+import graft.functions.SeedExprs
+
+/** KMV (k-minimum-values) distinct-count sketch — the mergeable sketch tier
+  * for COUNT(DISTINCT) at 100 TB. The sketch is the k smallest DISTINCT
+  * splitmix64 hash values of the key in unsigned order; the estimator is the
+  * classic unbiased KMV form n̂ = (k−1)·2⁶⁴ / h₍ₖ₎ (Bar-Yossef et al.,
+  * "Counting distinct elements in a data stream", RANDOM 2002). Everything
+  * is integer-exact and order-free: the hash is the engine's one hash family
+  * (splitmix64, already SQL-replicated by OracleSql.mix), unsigned order is
+  * signed order on h XOR Long.MinValue, and the estimate is one 128-bit
+  * integer floor-division — so the DuckDB oracle reproduces the ENTIRE
+  * sketch, ranks, and estimate bit-for-bit (no FP, no merge-order terms).
+  *
+  * Scale shape: one hash projection, one int-only distinct exchange (8-byte
+  * rows — the exact-dedup shape), then TakeOrderedAndProject (per-partition
+  * top-k heaps, k rows to the driver). The driver math is O(k). Sketches
+  * merge by union-and-retruncate ([[merge]]), which SketchSpec pins against
+  * the sketch of the union — the property that makes per-partition /
+  * per-day sketches composable into a global estimate without a rescan.
+  */
+object Sketches {
+
+  private val Mask64 = (BigInt(1) << 64) - 1
+
+  /** The k minimum distinct hash values (unsigned order) of `keyCol`. */
+  def kmvHashes(df: DataFrame, keyCol: String, k: Int): Array[Long] =
+    df.select(SeedExprs.mix64(col(keyCol)).as("h")).distinct()
+      .withColumn("uh", col("h").bitwiseXOR(lit(Long.MinValue)))
+      .orderBy("uh").limit(k)
+      .select("h").collect().map(_.getLong(0))
+
+  /** KMV estimate from a sorted-unsigned sketch: exact integer floor-div;
+    * a sketch that never filled (n < k) has seen every value → exact n. */
+  def estimate(hashes: Array[Long], k: Int): Long = {
+    val u = hashes.map(h => BigInt(h) & Mask64).sorted
+    if (u.length < k) u.length.toLong
+    else ((BigInt(k - 1) << 64) / u.last).toLong
+  }
+
+  /** Merge two sketches: union of distinct hashes, re-truncate to k. */
+  def merge(a: Array[Long], b: Array[Long], k: Int): Array[Long] =
+    (a ++ b).distinct.sortBy(h => BigInt(h) & Mask64).take(k)
+
+  /** Gate query (q83): the k=64 sketch of DISTINCT l_partkey with its rank
+    * and the resulting estimate (same value on every row). */
+  def kmvDistinct(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    val hashes = kmvHashes(table(spark, dir, "lineitem"), "l_partkey", k)
+    val sorted = hashes.sortBy(h => BigInt(h) & Mask64)
+    val est = estimate(sorted, k)
+    val rows = sorted.zipWithIndex.map { case (h, i) => Row(i + 1, h, est) }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+      StructType(Seq(StructField("rank", IntegerType, nullable = false),
+        StructField("h", LongType, nullable = false),
+        StructField("est_distinct", LongType, nullable = false))))
+  }
+}
