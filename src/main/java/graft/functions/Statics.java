@@ -83,4 +83,9 @@ public final class Statics {
   public static long mix64(long x) {
     return graft.synth.ImageSynth$.MODULE$.mix(x);
   }
+
+  /** Leading-zero count (HLL rho; SQL replica: 64 − length(bin(x))). */
+  public static long clz64(long x) {
+    return Long.numberOfLeadingZeros(x);
+  }
 }

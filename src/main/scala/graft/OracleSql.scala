@@ -838,6 +838,26 @@ object OracleSql {
        |        ELSE (${k - 1}::HUGEINT * $M64::HUGEINT) // kth.mk END)::BIGINT AS est_distinct
        |FROM r, kth""".stripMargin
 
+  /** q87: the HLL register file + raw estimate replayed in SQL. ρ uses the
+    * bin()-length identity (clz(x) = 64 − length(bin(x)) for x ≠ 0 —
+    * integer-string arithmetic, no FP log); the harmonic sum and the
+    * α·m²·2^59/S estimate are HUGEINT-exact, mirroring the engine's BigInt. */
+  def q87(p: Int = 6): String = {
+    val m = 1 << p
+    val rmax = 64 - p + 1
+    s"""WITH h AS (SELECT ${mix("l_partkey")} AS hm FROM lineitem),
+       |b AS (SELECT (hm >> ${64 - p}) AS bucket,
+       |        ((hm::HUGEINT * $m) % $M64)::UBIGINT AS rest FROM h),
+       |rh AS (SELECT bucket,
+       |        CASE WHEN rest = 0 THEN $rmax ELSE 65 - length(bin(rest)) END AS rho FROM b),
+       |regs AS (SELECT r.b AS bucket, coalesce(max(rho), 0)::BIGINT AS r
+       |         FROM range($m) r(b) LEFT JOIN rh ON rh.bucket = r.b GROUP BY 1),
+       |s AS (SELECT sum((1::HUGEINT << ($rmax - r)))::HUGEINT AS sv FROM regs)
+       |SELECT regs.bucket::BIGINT AS bucket, regs.r,
+       |  ((709::HUGEINT * $m * $m * (1::HUGEINT << $rmax)) // (1000::HUGEINT * s.sv))::BIGINT AS est_distinct
+       |FROM regs, s""".stripMargin
+  }
+
   /** graft.text.Dedup.simhash64 over the `documents` table → CTE text
     * defining `sim(doc_id, sh)` (sh as UBIGINT; bit-identical to the Scala
     * signed long). */

@@ -47,6 +47,11 @@ object SparkEntry {
     "q50_pip_cell_join" -> (SpatialQueries.pipCellJoin _),
     "q18_tile_rollup" -> (SpatialQueries.tileRollup _),
     "q19_knn_hexring" -> (SpatialQueries.knnHexRing _),
+    // spatial distance self-join: 3x3 tile-neighborhood candidates (z10) +
+    // exact haversine verify — the geospatial LSH-tier shape; oracle is the
+    // honest all-pairs distance join
+    "q86_spatial_pairs" -> ((s: SparkSession, d: String) =>
+      graft.spatial.DistanceJoin.pairsWithin(s, d)),
     "q20_haversine_tracks" -> (SpatialQueries.haversineTracks _),
     "q21_bbox_areas" -> (SpatialQueries.bboxAreas _),
     // training-data text ops
@@ -124,6 +129,10 @@ object SparkEntry {
     // replays the WHOLE sketch (ranks, hashes, estimate) bit-for-bit
     "q83_kmv_distinct" -> ((s: SparkSession, d: String) =>
       graft.ops.Sketches.kmvDistinct(s, d)),
+    // HyperLogLog register file + raw estimate — no distinct pass needed
+    // (max absorbs duplicates); the one exchange is the m-row bucket rollup
+    "q87_hll_distinct" -> ((s: SparkSession, d: String) =>
+      graft.ops.Sketches.hllDistinct(s, d)),
     // binned range join: key+time-window theta-join rewritten as an equi
     // join on (user, ts div W) with 2-bin left explode; oracle runs the
     // honest inequality join (DuckDB IEJoin)
@@ -870,6 +879,21 @@ object SparkEntry {
           FROM events e ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
             ON e.user_id = p.user_id AND e.ts >= p.ts""",
     "q83_kmv_distinct" -> OracleSql.q83(64),
+    "q87_hll_distinct" -> OracleSql.q87(),
+    // honest all-pairs distance join; `a.lat = b.lat` is a lattice fact
+    // (integer-degree lats, sigma*R >= |dlat|*111.19 km > 15 km for any
+    // cross-lat pair), NOT a copy of the engine's tile scheme
+    "q86_spatial_pairs" ->
+      s"""WITH p AS ($pts),
+          f AS (SELECT event_id, lon, lat FROM p WHERE abs(lat) <= 84.0),
+          c AS (SELECT a.event_id AS a_id, b.event_id AS b_id,
+              2*6371.0088*asin(least(1.0, sqrt(
+                sin(((b.lat - a.lat)/180.0)*pi()/2)*sin(((b.lat - a.lat)/180.0)*pi()/2) +
+                cos((a.lat/180.0)*pi())*cos((b.lat/180.0)*pi()) *
+                sin(((b.lon - a.lon)/180.0)*pi()/2)*sin(((b.lon - a.lon)/180.0)*pi()/2)))) AS km
+            FROM f a JOIN f b ON a.lat = b.lat AND a.event_id < b.event_id)
+          SELECT a_id, b_id, floor(km * 1000000.0)::BIGINT AS dist_mm
+          FROM c WHERE km < 15.0""",
     // the honest inequality join (IEJoin) vs the engine's binned equi-join
     "q84_range_join_binned" ->
       """SELECT e.event_id, count(*) AS n_prior,

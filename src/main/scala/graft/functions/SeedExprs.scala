@@ -35,6 +35,7 @@ case class SeedScalar(child: Expression, fn: String, resultType: DataType)
       case "segDLat" => Statics.segDLat(i)
       case "mixBp" => Statics.mixBp(i)
       case "mix64" => Statics.mix64(i)
+      case "clz64" => Statics.clz64(i)
       case "metaCs" => Statics.metaCs(i)
       case "metaVer" => Statics.metaVer(i)
     }
@@ -101,6 +102,7 @@ object SeedExprs {
   def segDLat(idx: Column): Column = co(SeedScalar(ex(idx), "segDLat", DoubleType))
   def mixBp(idx: Column): Column = co(SeedScalar(ex(idx), "mixBp", LongType))
   def mix64(x: Column): Column = co(SeedScalar(ex(x), "mix64", LongType))
+  def clz64(x: Column): Column = co(SeedScalar(ex(x), "clz64", LongType))
   def metaCs(idx: Column): Column = co(SeedScalar(ex(idx), "metaCs", LongType))
   def metaVer(idx: Column): Column = co(SeedScalar(ex(idx), "metaVer", LongType))
   def hexCell(lat: Column, lon: Column, res: Int): Column =

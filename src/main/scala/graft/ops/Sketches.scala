@@ -48,6 +48,56 @@ object Sketches {
   def merge(a: Array[Long], b: Array[Long], k: Int): Array[Long] =
     (a ++ b).distinct.sortBy(h => BigInt(h) & Mask64).take(k)
 
+  // ---- HyperLogLog -------------------------------------------------------
+
+  /** HLL registers of `keyCol` under splitmix64, p bits of bucket: for each
+    * of m = 2^p buckets, the max over rows of ρ = 1 + clz(h << p) (59 = p+1
+    * past the register width when the remaining bits are all zero). Unlike
+    * KMV this needs NO distinct pass — duplicates cannot move a max — so
+    * the only exchange is the (bucket → partial-max) rollup: m rows. Empty
+    * buckets surface with r = 0 via the range(m) left join. */
+  def hllRegisters(df: DataFrame, keyCol: String, p: Int = 6): DataFrame = {
+    val m = 1 << p
+    val spark = df.sparkSession
+    val rest = shiftleft(SeedExprs.mix64(col(keyCol)), p)
+    val regs = df
+      .select(shiftrightunsigned(SeedExprs.mix64(col(keyCol)), 64 - p).as("bucket"),
+        when(rest === 0L, lit((64 - p + 1).toLong))
+          .otherwise(SeedExprs.clz64(rest) + lit(1L)).as("rho"))
+      .groupBy("bucket").agg(max("rho").as("r"))
+    spark.range(m).select(col("id").as("bucket"))
+      .join(regs, Seq("bucket"), "left").na.fill(0L, Seq("r"))
+  }
+
+  /** Raw HLL estimate from the m register values, exact-integer: with
+    * α_64 = 709/1000 (the Flajolet et al. constant for m = 64) and the
+    * harmonic sum S = Σ 2^(59−ρ_b) kept as a BigInt, the estimate is ONE
+    * integer floor division ⌊709·m²·2^59 / (1000·S)⌋ — merge-order-free,
+    * so the DuckDB oracle replays it digit-for-digit (HUGEINT `//`).
+    * Deliberately NO small/large-range corrections here: they need ln(),
+    * which is not IEEE-pinned cross-engine; SketchSpec applies the
+    * linear-counting correction Scala-side for the accuracy envelope. */
+  def hllEstimate(registers: Array[Long], p: Int = 6): Long = {
+    val m = 1 << p
+    val rmax = 64 - p + 1
+    val s = registers.map(r => BigInt(1) << (rmax - r.toInt)).sum
+    ((BigInt(709) * m * m * (BigInt(1) << rmax)) / (BigInt(1000) * s)).toLong
+  }
+
+  /** Gate query (q87): the 64 HLL registers of l_partkey with the raw
+    * estimate on every row. */
+  def hllDistinct(spark: SparkSession, dir: String, p: Int = 6): DataFrame = {
+    val regs = hllRegisters(table(spark, dir, "lineitem"), "l_partkey", p)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val est = hllEstimate(regs.map(_._2), p)
+    val rows = regs.map { case (b, r) => Row(b, r, est) }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+      StructType(Seq(StructField("bucket", LongType, nullable = false),
+        StructField("r", LongType, nullable = false),
+        StructField("est_distinct", LongType, nullable = false))))
+  }
+
   /** Gate query (q83): the k=64 sketch of DISTINCT l_partkey with its rank
     * and the resulting estimate (same value on every row). */
   def kmvDistinct(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {

@@ -135,4 +135,71 @@ class SketchSpec extends AnyFunSuite {
     val est = Sketches.estimate(Sketches.kmvHashes(keyed, "fk", k), k)
     assert(est == truth)
   }
+
+  test("HLL registers merge by elementwise max; plain-Scala replica agrees") {
+    val li = table(spark, dir, "lineitem")
+    def regsOf(df: org.apache.spark.sql.DataFrame): Array[Long] =
+      Sketches.hllRegisters(df, "l_partkey").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).map(_._2)
+    val a = regsOf(li.filter(col("l_linenumber") % 2 === 0))
+    val b = regsOf(li.filter(col("l_linenumber") % 2 === 1))
+    val whole = regsOf(li)
+    assert(a.zip(b).map { case (x, y) => math.max(x, y) }.toSeq == whole.toSeq)
+
+    // independent replica: plain Scala loop over collected keys
+    val keys = li.select("l_partkey").collect().map(_.getLong(0))
+    val replica = Array.fill(64)(0L)
+    keys.foreach { key =>
+      val h = graft.functions.Statics.mix64(key)
+      val bucket = (h >>> 58).toInt
+      val rest = h << 6
+      val rho = if (rest == 0L) 59L else java.lang.Long.numberOfLeadingZeros(rest) + 1L
+      replica(bucket) = math.max(replica(bucket), rho)
+    }
+    assert(replica.toSeq == whole.toSeq)
+  }
+
+  test("HLL estimate (with Scala-side linear-counting correction) lands near truth") {
+    val li = table(spark, dir, "lineitem")
+    val truth = li.select("l_partkey").distinct().count().toDouble
+    val regs = Sketches.hllRegisters(li, "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).map(_._2)
+    val raw = Sketches.hllEstimate(regs).toDouble
+    val m = 64.0
+    val zeros = regs.count(_ == 0L)
+    val est = if (raw <= 2.5 * m && zeros > 0) m * math.log(m / zeros) else raw
+    assert(math.abs(est - truth) / truth < 0.35,
+      s"HLL est $est (raw $raw, zeros $zeros) vs truth $truth")
+  }
+}
+
+class DistanceJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("tile-neighborhood pairs equal brute-force all-pairs; no pair duplicated; equi-join plan") {
+    val out = graft.spatial.DistanceJoin.pairsWithin(spark, dir)
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == got.map(p => (p._1, p._2)).distinct.length,
+      "a pair met in more than one tile — the 3x3 cover double-counted")
+
+    // brute force in Spark (crossJoin of the filtered points)
+    val pts = graft.spatial.SpatialQueries.eventPoints(spark, dir)
+      .filter(abs(col("lat")) <= 84.0).select(col("event_id"), col("lon"), col("lat"))
+    val b = pts.select(col("event_id").as("b_id"), col("lon").as("b_lon"),
+      col("lat").as("b_lat"))
+    val brute = pts.crossJoin(b).filter(col("event_id") < col("b_id"))
+      .withColumn("km", graft.spatial.SpatialQueries.haversineKmCol(
+        col("lat"), col("lon"), col("b_lat"), col("b_lon")))
+      .filter(col("km") < 15.0)
+      .select(col("event_id"), col("b_id"),
+        floor(col("km") * lit(1000000.0)).cast("long").as("dist_mm"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSet == brute.toSet && got.nonEmpty)
+
+    out.count()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"candidate generation degenerated to a product:\n${plan.take(600)}")
+  }
 }
