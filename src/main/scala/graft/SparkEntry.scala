@@ -143,6 +143,17 @@ object SparkEntry {
     // plain join proves salting is invisible to the relation
     "q85_salted_join" -> ((s: SparkSession, d: String) =>
       graft.ops.SaltedJoin.revenueByType(s, d)),
+    // Bloom-pruned shuffle join: probe side pre-filtered by a from-scratch
+    // broadcast bit array before the exchange; the oracle's plain join
+    // proves pruning is invisible to the relation (no false negatives)
+    "q88_bloom_join" -> ((s: SparkSession, d: String) =>
+      graft.ops.BloomJoin.urgentRevenue(s, d)),
+    // all four CUBE levels in one Expand+agg pass vs DuckDB's native CUBE
+    "q89_cube_rollup" -> ((s: SparkSession, d: String) =>
+      graft.ops.MultiRollup.volumeCube(s, d)),
+    // gap-based sessionization: lag flag + running sum + rollup, one shuffle
+    "q90_sessionize" -> ((s: SparkSession, d: String) =>
+      graft.ops.Sessionize.sessions(s, d)),
     // ANN over embeddings
     "q30_ann_brute" -> ((s: SparkSession, d: String) => Ann.bruteTopK(s, d)),
     // metadata-FILTERED vector search: top-k restricted to label = 3; the
@@ -910,6 +921,37 @@ object SparkEntry {
             sum(floor(l_extendedprice * 100.0 + 0.5)::BIGINT)::BIGINT AS revenue_cents
           FROM lineitem JOIN part ON l_partkey = p_partkey
           GROUP BY 1""",
+    // plain join — Bloom pruning must be invisible to the relation (false
+    // positives die in the join, false negatives are impossible)
+    "q88_bloom_join" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+            sum(floor(l_extendedprice * 100.0 + 0.5)::BIGINT)::BIGINT AS revenue_cents
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderpriority = '1-URGENT'
+          GROUP BY 1""",
+    // DuckDB's native CUBE vs the engine's Expand+single-agg plan; GROUPING()
+    // uses the same leftmost-is-MSB convention as Spark's grouping_id()
+    "q89_cube_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+            GROUPING(l_returnflag, l_linestatus)::BIGINT AS gid,
+            count(*)::BIGINT AS n_items,
+            sum(floor(l_quantity * 100.0 + 0.5)::BIGINT)::BIGINT AS qty_cents,
+            sum(floor(l_extendedprice * 100.0 + 0.5)::BIGINT)::BIGINT AS revenue_cents
+          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    // same gap logic through DuckDB's window engine ((user_id, ts) unique —
+    // AsofSpec — so the frames are deterministic)
+    "q90_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us,
+              floor(value * 100.0 + 0.5)::BIGINT AS vc FROM events),
+          f AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+          s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY us
+                ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+          SELECT user_id, sid::BIGINT AS sid, min(us)::BIGINT AS start_us,
+            max(us)::BIGINT AS end_us, count(*)::BIGINT AS n_events,
+            sum(vc)::BIGINT AS value_cents
+          FROM s GROUP BY 1, 2""",
     "q65_ann_neardup_lsh_tier" -> OracleSql.q65(900, 0.95),
     "q73_semdedup" -> OracleSql.q73(0.45),
     // sketch queries verified by a REAL oracle: OracleSql reproduces the

@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Session.table
+
+/** Gap-based sessionization — the batch form of what Structured Streaming's
+  * session windows compute incrementally: per user, a new session starts at
+  * the first event and at every event whose gap from its predecessor
+  * exceeds `gapUs`; the session id is the running count of session starts.
+  *
+  * Scale shape: ONE exchange total. The lag flag, the running sum, and the
+  * final (user, session) rollup all key on `user_id` — Spark's
+  * EnsureRequirements recognizes that HashPartitioning(user_id) satisfies
+  * the clustered distribution of the two-key groupBy (same-key rows are
+  * already co-located), so the windows and the aggregation share the single
+  * shuffle (SessionizeSpec counts the exchanges). Per-user state is a sort
+  * within the partition, not driver state — 10^9 users parallelize flat.
+  */
+object Sessionize {
+
+  /** Gate query (q90): 30-minute-gap sessions over the events table.
+    * Output: one row per (user, session) with span, size, and value sum
+    * (cents — integer, merge-order-free). */
+  def sessions(spark: SparkSession, dir: String,
+               gapUs: Long = 30L * 60 * 1000000): DataFrame = {
+    val ev = table(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("us"),
+        col("value"))
+    // (user_id, ts) is unique (pinned by AsofSpec) — `us` totally orders
+    // each user's events, so the lag/running-sum frames are deterministic
+    val w = Window.partitionBy("user_id").orderBy("us")
+    ev.withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("new_sess")).over(w))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"),
+        count(lit(1)).as("n_events"),
+        sum(floor(col("value") * lit(100.0) + lit(0.5)).cast("long"))
+          .as("value_cents"))
+  }
+}
