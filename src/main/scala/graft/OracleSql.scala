@@ -858,6 +858,52 @@ object OracleSql {
        |FROM regs, s""".stripMargin
   }
 
+  /** Morton interleave of BIGINT columns `ix`/`iy` (low `bits` each) as a
+    * sum of literal-shift terms — mirrors graft.spatial.ZOrder.mortonCol
+    * term for term (integer arithmetic, merge-order-free). */
+  def mortonExpr(ix: String, iy: String, bits: Int): String =
+    (0 until bits).map { i =>
+      s"(($ix >> $i) & 1) * ${1L << (2 * i)} + (($iy >> $i) & 1) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+
+  /** q91: z-range-bucket rollup of the morton codes of the event points
+    * (`pts` = the shared points CTE body). */
+  def q91(pts: String, bits: Int = 10): String = {
+    val n = 1L << bits
+    s"""WITH p AS ($pts),
+       |g AS (SELECT least(floor((lon + 180.0) / 360.0 * $n.0), ${n - 1}.0)::BIGINT AS ix,
+       |             least(floor((lat + 90.0) / 180.0 * $n.0), ${n - 1}.0)::BIGINT AS iy FROM p),
+       |m AS (SELECT (${mortonExpr("ix", "iy", bits)})::BIGINT AS morton FROM g)
+       |SELECT (morton >> 6)::BIGINT AS zbucket, count(*)::BIGINT AS n,
+       |  min(morton)::BIGINT AS min_code, max(morton)::BIGINT AS max_code
+       |FROM m GROUP BY 1""".stripMargin
+  }
+
+  /** q94: geohash (graft.index.Geohash — lon-first MSB interleave, base32)
+    * prefix rollup over the event points. */
+  def q94(pts: String, precision: Int = 6): String = {
+    val totalBits = 5 * precision
+    val lonBits = (totalBits + 1) / 2
+    val latBits = totalBits / 2
+    val lonShift = if (totalBits % 2 == 0) 1 else 0
+    val lonN = 1L << lonBits; val latN = 1L << latBits
+    val code =
+      (0 until lonBits).map(i => s"((ix >> $i) & 1) * ${1L << (2 * i + lonShift)}") ++
+        (0 until latBits).map(i => s"((iy >> $i) & 1) * ${1L << (2 * i + 1 - lonShift)}")
+    val chars = (0 until precision).map { j =>
+      s"substr('${graft.index.Geohash.Alphabet}', ((code >> ${5 * (precision - 1 - j)}) & 31)::INT + 1, 1)"
+    }
+    s"""WITH p AS ($pts),
+       |g AS (SELECT user_id,
+       |  least(floor((lon + 180.0) / 360.0 * $lonN.0), ${lonN - 1}.0)::BIGINT AS ix,
+       |  least(floor((lat + 90.0) / 180.0 * $latN.0), ${latN - 1}.0)::BIGINT AS iy FROM p),
+       |c AS (SELECT user_id, (${code.mkString(" + ")})::BIGINT AS code FROM g),
+       |h AS (SELECT user_id, ${chars.mkString(" || ")} AS gh FROM c)
+       |SELECT substr(gh, 1, 4) AS gh4, count(*)::BIGINT AS n,
+       |  count(DISTINCT user_id)::BIGINT AS n_users
+       |FROM h GROUP BY 1""".stripMargin
+  }
+
   /** graft.text.Dedup.simhash64 over the `documents` table → CTE text
     * defining `sim(doc_id, sh)` (sh as UBIGINT; bit-identical to the Scala
     * signed long). */

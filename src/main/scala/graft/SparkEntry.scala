@@ -154,6 +154,23 @@ object SparkEntry {
     // gap-based sessionization: lag flag + running sum + rollup, one shuffle
     "q90_sessionize" -> ((s: SparkSession, d: String) =>
       graft.ops.Sessionize.sessions(s, d)),
+    // Morton/z-order clustering key: literal-shift bit interleave (codegen),
+    // rolled up by z-range bucket — the file-skipping layout primitive
+    "q91_zorder" -> ((s: SparkSession, d: String) =>
+      graft.spatial.ZOrder.mortonRollup(s, d)),
+    // per-group top-k via bounded partial-aggregating heaps (the exchange
+    // carries <= k rows per group per partition, never the input)
+    "q92_topk_group" -> ((s: SparkSession, d: String) =>
+      graft.ops.TopK.topCustomers(s, d)),
+    // secondary sort + one-pass sorted-group iterator (mapPartitions tier)
+    "q93_sorted_groups" -> ((s: SparkSession, d: String) =>
+      graft.ops.SortedGroups.userSignatures(s, d)),
+    // geohash (third index family): base32 prefix-containment cells
+    "q94_geohash" -> ((s: SparkSession, d: String) =>
+      graft.index.Geohash.prefixRollup(s, d)),
+    // mergeable equi-width histogram quantiles, integer-exact end to end
+    "q95_hist_quantile" -> ((s: SparkSession, d: String) =>
+      graft.ops.HistQuantile.quantiles(s, d)),
     // ANN over embeddings
     "q30_ann_brute" -> ((s: SparkSession, d: String) => Ann.bruteTopK(s, d)),
     // metadata-FILTERED vector search: top-k restricted to label = 3; the
@@ -938,6 +955,32 @@ object SparkEntry {
             sum(floor(l_quantity * 100.0 + 0.5)::BIGINT)::BIGINT AS qty_cents,
             sum(floor(l_extendedprice * 100.0 + 0.5)::BIGINT)::BIGINT AS revenue_cents
           FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    // bit-for-bit replay of the literal-shift interleave (integer terms)
+    "q91_zorder" -> OracleSql.q91(pts),
+    // the window form of per-group top-k (the engine runs bounded heaps)
+    "q92_topk_group" ->
+      """WITH r AS (SELECT c_mktsegment, c_custkey,
+              floor(c_acctbal * 100.0 + 0.5)::BIGINT AS bal_cents,
+              row_number() OVER (PARTITION BY c_mktsegment
+                ORDER BY floor(c_acctbal * 100.0 + 0.5)::BIGINT DESC, c_custkey)
+                AS rank
+            FROM customer)
+          SELECT c_mktsegment, rank::BIGINT AS rank, c_custkey, bal_cents
+          FROM r WHERE rank <= 3""",
+    // ordered list aggregation vs the engine's sorted-partition single pass
+    "q93_sorted_groups" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+          a AS (SELECT user_id, count(*)::BIGINT AS n_events,
+              max(us)::BIGINT AS last_us,
+              list(event_type ORDER BY us) AS types
+            FROM e GROUP BY 1)
+          SELECT user_id, n_events, array_to_string(types[1:5], ',') AS first5,
+            last_us
+          FROM a""",
+    // full geohash encode replayed in SQL (scaled ints + interleave + base32)
+    "q94_geohash" -> OracleSql.q94(pts),
+    // the entire histogram sketch replayed: bins, cumulative ranks, estimates
+    "q95_hist_quantile" -> graft.ops.HistQuantile.oracle(),
     // same gap logic through DuckDB's window engine ((user_id, ts) unique —
     // AsofSpec — so the frames are deterministic)
     "q90_sessionize" ->

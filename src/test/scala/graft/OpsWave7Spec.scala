@@ -1,0 +1,179 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.Session.table
+import graft.ops.{HistQuantile, SortedGroups, TopK}
+import graft.spatial.ZOrder
+import graft.index.Geohash
+
+class ZOrderSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("morton interleave is a bijection matching a plain-Scala reference") {
+    import spark.implicits._
+    val bits = 5
+    val grid = (for (x <- 0 until 32; y <- 0 until 32) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val got = grid.select(col("x"), col("y"),
+        ZOrder.mortonCol(col("x"), col("y"), bits).as("m"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    def ref(x: Long, y: Long): Long =
+      (0 until bits).map(i => (((x >> i) & 1) << (2 * i)) | (((y >> i) & 1) << (2 * i + 1))).sum
+    assert(got.size == 1024 && got.values.toSet.size == 1024) // bijective
+    got.foreach { case ((x, y), m) => assert(m == ref(x, y), s"($x,$y)") }
+  }
+
+  test("range partitioning by morton yields non-overlapping code ranges (file-skip precondition)") {
+    val pts = graft.spatial.SpatialQueries.eventPoints(spark, dir)
+      .select(ZOrder.mortonCol(ZOrder.gridX(col("lon"), 10),
+        ZOrder.gridY(col("lat"), 10), 10).as("m"))
+    val ranges = pts.repartitionByRange(8, col("m"))
+      .mapPartitions { it =>
+        val ms = it.map(_.getLong(0))
+        if (ms.isEmpty) Iterator.empty
+        else { var mn = Long.MaxValue; var mx = Long.MinValue
+          ms.foreach { v => mn = math.min(mn, v); mx = math.max(mx, v) }
+          Iterator((mn, mx)) }
+      }(org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong))
+      .collect().sortBy(_._1)
+    assert(ranges.length > 1)
+    ranges.sliding(2).foreach { case Array((_, aMax), (bMin, _)) =>
+      assert(aMax <= bMin, s"overlapping z-ranges: $aMax > $bMin")
+    case _ => }
+  }
+}
+
+class TopKSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("bounded-heap top-k equals the window plan; partial aggregation below the exchange") {
+    val heap = TopK.topCustomers(spark, dir)
+    val win = TopK.topCustomersWindow(spark, dir)
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(toSet(heap) == toSet(win))
+    assert(toSet(heap).size == 15) // 5 segments × k=3
+
+    heap.count()
+    val p = Wave6.finalPlan(heap)
+    // the operator's reason to exist: a real partial+final aggregation (each
+    // map task forwards <= k rows/group), not a Window over all rows
+    assert(p.contains("partial_topkagg") || p.contains("partial_"),
+      s"no partial aggregation in plan:\n${p.take(800)}")
+    assert(!p.contains("Window"), s"fell back to a window plan:\n${p.take(800)}")
+  }
+
+  test("heap merge is order-insensitive and tie-stable") {
+    val agg = TopK.topKAgg(3)
+    val items = Seq((5L, 9L), (5L, 2L), (7L, 1L), (1L, 4L), (7L, 8L))
+    val whole = items.foldLeft(agg.zero)(agg.reduce)
+    for (cut <- 1 until items.length) {
+      val (a, b) = items.splitAt(cut)
+      val merged = agg.merge(a.foldLeft(agg.zero)(agg.reduce),
+        b.foldLeft(agg.zero)(agg.reduce))
+      assert(agg.finish(merged) == agg.finish(whole), s"cut=$cut")
+    }
+    assert(agg.finish(whole) == Seq((7L, 1L), (7L, 8L), (5L, 2L)))
+  }
+}
+
+class SortedGroupsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("sorted-partition single pass matches a groupBy reference; sort is partition-local") {
+    val out = SortedGroups.userSignatures(spark, dir)
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+
+    val rows = table(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("us"),
+        col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val expect = rows.groupBy(_._1).map { case (uid, evs) =>
+      val sorted = evs.sortBy(_._2)
+      (uid, evs.size.toLong, sorted.take(5).map(_._3).mkString(","), sorted.last._2)
+    }.toSet
+    assert(got == expect && got.nonEmpty)
+
+    out.count()
+    val p = Wave6.finalPlan(out)
+    assert(Wave6.exchanges(out) == 1,
+      s"expected 1 exchange, saw ${Wave6.exchanges(out)}:\n${p.take(1000)}")
+    // partition-local sort (global flag false), never a global sort
+    assert(p.contains("Sort ") && !p.contains("rangepartitioning"),
+      s"expected a partition-local sort:\n${p.take(1000)}")
+  }
+}
+
+class GeohashSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("geohash matches published goldens at even AND odd precision") {
+    import spark.implicits._
+    val pts = Seq(
+      (10.40744, 57.64911), // Jutland — the classic example
+      (-5.603, 42.605),     // ezs42 (odd precision exercises lonShift=0)
+      (0.0, 0.0),
+      (-179.9, -89.9),
+      (179.9, 89.9)).toDF("lon", "lat")
+    val got6 = pts.select(Geohash.geohashCol(col("lon"), col("lat"), 6))
+      .collect().map(_.getString(0))
+    assert(got6.toSeq == Seq("u4pruy", "ezs42s", "s00000", "0000d6", "zzzzmt"))
+    val got5 = pts.select(Geohash.geohashCol(col("lon"), col("lat"), 5))
+      .collect().map(_.getString(0))
+    assert(got5.take(2).toSeq == Seq("u4pru", "ezs42"))
+    assert(got5(4) == "zzzzm")
+  }
+
+  test("prefix relation: the p-char hash is a prefix of the (p+1)-char hash") {
+    import spark.implicits._
+    val pts = (1 to 200).map { i => (((i * 37) % 360) - 180 + 0.25, ((i * 17) % 180) - 90 + 0.25) }
+      .toDF("lon", "lat")
+    val bad = pts.select(Geohash.geohashCol(col("lon"), col("lat"), 4).as("g4"),
+        Geohash.geohashCol(col("lon"), col("lat"), 5).as("g5"))
+      .filter(substring(col("g5"), 1, 4) =!= col("g4")).count()
+    assert(bad == 0, s"$bad points whose g4 is not a prefix of g5")
+  }
+}
+
+class HistQuantileSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+  val W = 50000L
+
+  test("histogram estimate is within one bin of the exact sorted quantile") {
+    val est = HistQuantile.quantiles(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    val cents = table(spark, dir, "lineitem")
+      .select(floor(col("l_extendedprice") * lit(100.0) + lit(0.5)).cast("long"))
+      .collect().map(_.getLong(0)).sorted
+    for ((qbp, got) <- est) {
+      val target = math.ceil(qbp.toDouble * cents.length / 10000).toInt
+      val exact = cents(target - 1)
+      assert(math.abs(got - exact) <= W,
+        s"q=$qbp: est $got vs exact $exact exceeds bin width $W")
+      assert(got <= exact && exact < got + W, s"q=$qbp: exact not inside est bin")
+    }
+  }
+
+  test("histograms merge by bin-wise sum: split halves re-aggregate to the whole") {
+    import spark.implicits._
+    val cents = table(spark, dir, "lineitem")
+      .select(floor(col("l_extendedprice") * lit(100.0) + lit(0.5)).cast("long")
+        .as("cents"))
+    def hist(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.groupBy(expr(s"cents div $W").as("bin")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val whole = hist(cents)
+    val a = hist(cents.filter(col("cents") % 2 === 0))
+    val b = hist(cents.filter(col("cents") % 2 =!= 0))
+    val merged = (a.keySet ++ b.keySet).map(k =>
+      k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+    assert(merged == whole)
+  }
+}
