@@ -211,10 +211,10 @@ object OracleSql {
     * columns idx, seed, sel, hdx, hdy, hlon, hlat, huid, hteam (+ any
     * `extra` draws a specific oracle needs, so queries that don't use them
     * don't pay for them). */
-  private def geotagCtes(n: Long, extra: Seq[(String, Int)] = Nil): String = {
-    val hashes = Seq(("sel", 41), ("hdx", 43), ("hdy", 47), ("hlon", 53),
-      ("hlat", 59), ("huid", 17), ("hteam", 19),
-      ("hnoun", 13), ("hsdx", 61), ("hsdy", 67), ("hday", 23)) ++ extra
+  private def geotagCtes(n: Long, extra: Seq[(String, Long)] = Nil): String = {
+    val hashes = Seq(("sel", 41L), ("hdx", 43L), ("hdy", 47L), ("hlon", 53L),
+      ("hlat", 59L), ("huid", 17L), ("hteam", 19L),
+      ("hnoun", 13L), ("hsdx", 61L), ("hsdy", 67L), ("hday", 23L)) ++ extra
     val ctes = scala.collection.mutable.ArrayBuffer(
       s"i AS (SELECT unnest(range(0, $n)) AS idx)")
     var prev = "i"
@@ -240,7 +240,7 @@ object OracleSql {
     * `extraHashes` (name → xor constant) with the derived columns in
     * `extraG` (expressions over the hash columns) — carried through pt by
     * name. */
-  private def pipelineCtes(n: Long, extraHashes: Seq[(String, Int)] = Nil,
+  private def pipelineCtes(n: Long, extraHashes: Seq[(String, Long)] = Nil,
                            extraG: Seq[(String, String)] = Nil): String = {
     val gX = extraG.map { case (name, e) => s"  $e AS $name," }.mkString("\n")
     val ptX = extraG.map { case (name, _) => s"$name, " }.mkString
@@ -426,7 +426,7 @@ object OracleSql {
     * projection, and the shortest-roundtrip numeric formatting row for row. */
   def q61(n: Long): String =
     s"""WITH ${pipelineCtes(n,
-         Seq(("hcs", 29), ("hver", 31)),
+         Seq(("hcs", 29L), ("hver", 31L)),
          Seq(("cs", "((hcs & 2147483647) % 100000)::BIGINT"),
              ("ver", "(1 + (hver & 2147483647) % 9)::BIGINT")))}
        |SELECT idx::BIGINT AS idx, uid AS u, 'user' || uid AS h, cs AS c,
@@ -856,6 +856,59 @@ object OracleSql {
        |SELECT regs.bucket::BIGINT AS bucket, regs.r,
        |  ((709::HUGEINT * $m * $m * (1::HUGEINT << $rmax)) // (1000::HUGEINT * s.sv))::BIGINT AS est_distinct
        |FROM regs, s""".stripMargin
+  }
+
+  /** q98: the tile-mosaic brightness layer replayed analytically — fmt coin
+    * (q33's split) + the four sampled pixels from the synth formula
+    * pixel(x,y) = (mix(seed ^ ((y div 8)<<32) ^ (x div 8)) & 0xBF)
+    * + (x mod 8)·3 + (y mod 8)·4 at (0,0)/(9,0)/(0,9)/(9,9), per z12 tile.
+    * A hash match proves the engine's REAL PNG decode returned exactly the
+    * bytes the synthesizer wrote — per tile, against independent SQL. */
+  def q98(n: Long): String =
+    s"""WITH ${pipelineCtes(n,
+         Seq(("hfmt", 5L), ("hp00", 0L), ("hp90", 1L),
+           ("hp09", 4294967296L), ("hp99", 4294967297L)),
+         Seq(("is_png", "(hfmt & 1) = 0"),
+           ("brightness",
+             "((hp00 & 191) + (hp90 & 191) + 3 + (hp09 & 191) + 4 + (hp99 & 191) + 7)::BIGINT")))}
+       |SELECT tile, count(*)::BIGINT AS n_png, sum(brightness)::BIGINT AS sum_brightness
+       |FROM pj WHERE is_png GROUP BY 1""".stripMargin
+
+  /** q96: KMV union/intersection estimates replayed — per-side top-k
+    * sketches, merged union sketch, ρ membership count, and both HUGEINT
+    * floor-division estimates (mirrors Sketches.kmvIntersect). */
+  def q96(k: Int, cut: String): String =
+    s"""WITH a AS (SELECT DISTINCT ${mix("l_orderkey")} AS m FROM lineitem
+       |           WHERE l_shipdate < TIMESTAMP '$cut'),
+       |b AS (SELECT DISTINCT ${mix("l_orderkey")} AS m FROM lineitem
+       |      WHERE l_shipdate >= TIMESTAMP '$cut'),
+       |ta AS (SELECT m FROM a ORDER BY m LIMIT $k),
+       |tb AS (SELECT m FROM b ORDER BY m LIMIT $k),
+       |u AS (SELECT m FROM (SELECT m FROM ta UNION SELECT m FROM tb) ORDER BY m LIMIT $k),
+       |kth AS (SELECT max(m)::HUGEINT AS mk, count(*)::HUGEINT AS cnt FROM u),
+       |rho AS (SELECT count(*)::HUGEINT AS r FROM u
+       |        WHERE m IN (SELECT m FROM ta) AND m IN (SELECT m FROM tb)),
+       |est AS (SELECT CASE WHEN kth.cnt < $k THEN kth.cnt
+       |               ELSE (${k - 1}::HUGEINT * $M64::HUGEINT) // kth.mk END AS eu
+       |        FROM kth)
+       |SELECT rho.r::BIGINT AS rho, est.eu::BIGINT AS est_union,
+       |  (CASE WHEN kth.cnt < $k THEN rho.r ELSE (rho.r * est.eu) // $k END)::BIGINT AS est_inter
+       |FROM rho, est, kth""".stripMargin
+
+  /** q97: the Count-Min estimate for every distinct partkey, replayed —
+    * salted-mix column hashing, d×w counter sums, min over rows (mirrors
+    * CountMin.partkeyFreq; salt j = (j+1)·golden). */
+  def q97(d: Int, w: Int): String = {
+    val hashes = (0 until d).map { j =>
+      val salted = s"xor(l_partkey::UBIGINT, ${java.lang.Long.toUnsignedString((j + 1).toLong * 0x9E3779B97F4A7C15L)}::UBIGINT)"
+      s"SELECT $j AS j, (${mix(salted)} & ${w - 1}) AS col, l_partkey FROM lineitem"
+    }.mkString(" UNION ALL ")
+    s"""WITH rows_ AS ($hashes),
+       |cm AS (SELECT j, col, count(*)::BIGINT AS c FROM rows_ GROUP BY 1, 2),
+       |probes AS (SELECT DISTINCT j, col, l_partkey FROM rows_)
+       |SELECT p.l_partkey, min(cm.c)::BIGINT AS est_n
+       |FROM probes p JOIN cm ON p.j = cm.j AND p.col = cm.col
+       |GROUP BY 1""".stripMargin
   }
 
   /** Morton interleave of BIGINT columns `ix`/`iy` (low `bits` each) as a

@@ -171,6 +171,16 @@ object SparkEntry {
     // mergeable equi-width histogram quantiles, integer-exact end to end
     "q95_hist_quantile" -> ((s: SparkSession, d: String) =>
       graft.ops.HistQuantile.quantiles(s, d)),
+    // KMV set ops: union + intersection estimates from the sketches alone
+    "q96_kmv_intersect" -> ((s: SparkSession, d: String) =>
+      graft.ops.Sketches.kmvIntersect(s, d)),
+    // Count-Min frequency sketch: d×w counter sums + min-over-rows estimates
+    "q97_countmin" -> ((s: SparkSession, d: String) =>
+      graft.ops.CountMin.partkeyFreq(s, d)),
+    // raster→vector tile mosaic: REAL PNG decode, 4 sampled pixels per image,
+    // per-z12-tile brightness rollup vs the analytic pixel formula in SQL
+    "q98_tile_mosaic" -> ((s: SparkSession, _: String) =>
+      graft.multimodal.TileMosaic.mosaic(s)),
     // ANN over embeddings
     "q30_ann_brute" -> ((s: SparkSession, d: String) => Ann.bruteTopK(s, d)),
     // metadata-FILTERED vector search: top-k restricted to label = 3; the
@@ -981,6 +991,12 @@ object SparkEntry {
     "q94_geohash" -> OracleSql.q94(pts),
     // the entire histogram sketch replayed: bins, cumulative ranks, estimates
     "q95_hist_quantile" -> graft.ops.HistQuantile.oracle(),
+    // per-side sketches, union sketch, rho, and both estimates replayed
+    "q96_kmv_intersect" -> OracleSql.q96(256, "1998-06-01"),
+    // the full d×w counter matrix + min-over-rows estimates replayed
+    "q97_countmin" -> OracleSql.q97(4, 256),
+    // fmt coin + analytic pixels + tile assignment replayed in SQL
+    "q98_tile_mosaic" -> OracleSql.q98(2000),
     // same gap logic through DuckDB's window engine ((user_id, ts) unique —
     // AsofSpec — so the frames are deterministic)
     "q90_sessionize" ->

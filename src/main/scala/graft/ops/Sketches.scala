@@ -111,4 +111,36 @@ object Sketches {
         StructField("h", LongType, nullable = false),
         StructField("est_distinct", LongType, nullable = false))))
   }
+
+  /** KMV set-operation estimates (Beyer et al., "On synopses for distinct-
+    * value estimation under multiset operations", SIGMOD 2007): from the two
+    * per-side sketches alone — no rescan — estimate |A∪B| via the merged
+    * sketch and |A∩B| via ρ/k · n̂(A∪B), where ρ counts members of the
+    * union sketch present in BOTH side sketches. This is the composability
+    * story that matters at 100 TB: per-shard/per-day sketches (k longs each)
+    * answer cross-set cardinality questions without touching the data
+    * again. Integer-exact end to end: unsigned compares, one HUGEINT-style
+    * floor division per estimate (BigInt on the Scala side), so the oracle
+    * replays every number digit-for-digit.
+    *
+    * Gate query (q96): A = orderkeys shipping before `cut`, B = after;
+    * output one row (rho, est_union, est_inter). If the union sketch never
+    * filled, both side sketches are their full sets and ρ IS |A∩B|. */
+  def kmvIntersect(spark: SparkSession, dir: String, k: Int = 256,
+                   cut: String = "1998-06-01"): DataFrame = {
+    val li = table(spark, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+    val cutTs = lit(cut).cast("timestamp")
+    val a = kmvHashes(li.filter(col("l_shipdate") < cutTs), "l_orderkey", k)
+    val b = kmvHashes(li.filter(col("l_shipdate") >= cutTs), "l_orderkey", k)
+    val u = merge(a, b, k)
+    val estU = estimate(u, k)
+    val aSet = a.toSet; val bSet = b.toSet
+    val rho = u.count(h => aSet(h) && bSet(h)).toLong
+    val estI = if (u.length < k) rho else (BigInt(rho) * BigInt(estU) / k).toLong
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(rho, estU, estI)), 1),
+      StructType(Seq(StructField("rho", LongType, nullable = false),
+        StructField("est_union", LongType, nullable = false),
+        StructField("est_inter", LongType, nullable = false))))
+  }
 }

@@ -177,3 +177,114 @@ class HistQuantileSpec extends AnyFunSuite {
     assert(merged == whole)
   }
 }
+
+class KmvIntersectSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import graft.ops.Sketches
+
+  private def hashesOf(df: org.apache.spark.sql.DataFrame, k: Int) =
+    Sketches.kmvHashes(df, "id", k)
+
+  test("unfilled sketches: rho IS the exact intersection, estimates exact") {
+    val a = hashesOf(spark.range(0, 100).toDF("id"), 512)
+    val b = hashesOf(spark.range(50, 150).toDF("id"), 512)
+    val u = Sketches.merge(a, b, 512)
+    assert(u.length == 150) // union unfilled -> sketches are the full sets
+    val rho = u.count(h => a.contains(h) && b.contains(h))
+    assert(rho == 50)
+    assert(Sketches.estimate(u, 512) == 150)
+  }
+
+  test("filled sketches: planted overlap estimated within the k=256 error envelope") {
+    val k = 256
+    val a = hashesOf(spark.range(0, 10000).toDF("id"), k)
+    val b = hashesOf(spark.range(5000, 15000).toDF("id"), k)
+    val u = Sketches.merge(a, b, k)
+    val estU = Sketches.estimate(u, k)
+    val aSet = a.toSet; val bSet = b.toSet
+    val rho = u.count(h => aSet(h) && bSet(h))
+    val estI = (BigInt(rho) * BigInt(estU) / k).toLong
+    // true union 15000, true intersection 5000; 1/sqrt(k) ~ 6%, ratio
+    // estimator ~ 11% — assert a 3-sigma-ish 25% envelope (deterministic
+    // given the fixed hash family, so this cannot flake)
+    assert(math.abs(estU - 15000) < 15000 * 0.25, s"est_union=$estU")
+    assert(math.abs(estI - 5000) < 5000 * 0.25, s"est_inter=$estI")
+  }
+}
+
+class CountMinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+  import graft.ops.CountMin
+
+  test("estimates never undercount; exact when the matrix is sparse; collisions only inflate") {
+    import spark.implicits._
+    val truth = graft.Session.table(spark, dir, "lineitem")
+      .groupBy("l_partkey").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // tight matrix (w=64 < 200 keys): collisions guaranteed -> est >= true
+    val tight = CountMin.partkeyFreq(spark, dir, d = 4, w = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tight.keySet == truth.keySet)
+    truth.foreach { case (key, n) =>
+      assert(tight(key) >= n, s"key $key undercounted: ${tight(key)} < $n")
+    }
+    assert(truth.exists { case (key, n) => tight(key) > n },
+      "w=64 over 200 keys produced zero collisions — vacuous bound test")
+    // wide matrix (w=4096): whp collision-free -> exact
+    val wide = CountMin.partkeyFreq(spark, dir, d = 4, w = 4096)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wide == truth, "w=4096 should be collision-free on 200 keys")
+  }
+
+  test("counter matrices merge by cell-wise sum") {
+    val li = graft.Session.table(spark, dir, "lineitem")
+    def cm(df: org.apache.spark.sql.DataFrame): Map[(Int, Long), Long] =
+      CountMin.counters(df, "l_partkey", 4, 256)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = cm(li)
+    val a = cm(li.filter(org.apache.spark.sql.functions.col("l_orderkey") % 2 === 0))
+    val b = cm(li.filter(org.apache.spark.sql.functions.col("l_orderkey") % 2 =!= 0))
+    val merged = (a.keySet ++ b.keySet).map(c =>
+      c -> (a.getOrElse(c, 0L) + b.getOrElse(c, 0L))).toMap
+    assert(merged == whole)
+  }
+}
+
+class TileMosaicSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import graft.multimodal.TileMosaic
+  import graft.synth.ImageSynth
+
+  test("real decode equals the synth raster at the sample coords; rollup is exactly the per-row analytic sum") {
+    val n = 300
+    val rows = graft.pipeline.ImagePipeline.synthTable(spark, n.toLong, 4).collect()
+    val pngs = rows.filter(_.fmt == "png")
+    assert(pngs.nonEmpty && pngs.length < rows.length)
+    val xs = Array(0, 9, 0, 9); val ys = Array(0, 0, 9, 9)
+
+    // decode-vs-render: the stored PNG bytes round-trip losslessly
+    pngs.take(50).foreach { r =>
+      val img = graft.pipeline.Validate.decode(r.bytes, "png")
+      val seed = ImageSynth.seedOf(r.image_id.stripPrefix("img").toLong)
+      val ref = ImageSynth.render(seed, r.w, r.h)
+      (0 until 4).foreach { c =>
+        assert((img.getRGB(xs(c), ys(c)) & 0xFF) == (ref.getRGB(xs(c), ys(c)) & 0xFF),
+          s"${r.image_id} pixel (${xs(c)},${ys(c)})")
+      }
+    }
+
+    // the mosaic counts every PNG exactly once and sums exactly the
+    // analytic brightness (mix-formula replica, independent of the decode)
+    val out = TileMosaic.mosaic(spark, n.toLong, 4).collect()
+    assert(out.map(_.getLong(1)).sum == pngs.length)
+    val expected = pngs.map { r =>
+      val seed = ImageSynth.seedOf(r.image_id.stripPrefix("img").toLong)
+      (0 until 4).map { c =>
+        (ImageSynth.mix(seed ^ ((ys(c) / 8).toLong << 32) ^ (xs(c) / 8).toLong) & 0xBF) +
+          (xs(c) % 8) * 3 + (ys(c) % 8) * 4
+      }.sum
+    }.sum
+    assert(out.map(_.getLong(2)).sum == expected)
+  }
+}
