@@ -858,6 +858,28 @@ object OracleSql {
        |FROM regs, s""".stripMargin
   }
 
+  /** q99: per-group HLL raw estimates replayed (grouped q87 — same register
+    * derivation, (group × bucket) grid via CROSS JOIN range(m)). */
+  def q99(p: Int = 6): String = {
+    val m = 1 << p
+    val rmax = 64 - p + 1
+    s"""WITH h AS (SELECT event_type, ${mix("user_id")} AS hm FROM events),
+       |b AS (SELECT event_type, (hm >> ${64 - p}) AS bucket,
+       |        ((hm::HUGEINT * $m) % $M64)::UBIGINT AS rest FROM h),
+       |rh AS (SELECT event_type, bucket,
+       |        CASE WHEN rest = 0 THEN $rmax ELSE 65 - length(bin(rest)) END AS rho FROM b),
+       |grp AS (SELECT DISTINCT event_type FROM h),
+       |regs AS (SELECT g.event_type, r.b AS bucket, coalesce(max(rho), 0)::BIGINT AS r
+       |         FROM grp g CROSS JOIN range($m) r(b)
+       |         LEFT JOIN rh ON rh.event_type = g.event_type AND rh.bucket = r.b
+       |         GROUP BY 1, 2),
+       |s AS (SELECT event_type, sum((1::HUGEINT << ($rmax - r)))::HUGEINT AS sv
+       |      FROM regs GROUP BY 1)
+       |SELECT event_type,
+       |  ((709::HUGEINT * $m * $m * (1::HUGEINT << $rmax)) // (1000::HUGEINT * sv))::BIGINT AS est_users
+       |FROM s""".stripMargin
+  }
+
   /** q98: the tile-mosaic brightness layer replayed analytically — fmt coin
     * (q33's split) + the four sampled pixels from the synth formula
     * pixel(x,y) = (mix(seed ^ ((y div 8)<<32) ^ (x div 8)) & 0xBF)

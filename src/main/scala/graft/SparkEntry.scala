@@ -181,6 +181,19 @@ object SparkEntry {
     // per-z12-tile brightness rollup vs the analytic pixel formula in SQL
     "q98_tile_mosaic" -> ((s: SparkSession, _: String) =>
       graft.multimodal.TileMosaic.mosaic(s)),
+    // HLL sketches as GROUP columns: per-type distinct-user estimates from
+    // one (group, bucket) aggregation — replaces G countDistinct jobs
+    "q99_hll_per_group" -> ((s: SparkSession, d: String) =>
+      graft.ops.Sketches.hllDistinctPerGroup(s, d)),
+    // full outer join with BOTH null sides genuinely exercised
+    "q100_outer_join" -> ((s: SparkSession, d: String) =>
+      graft.ops.Reshape.outerCoverage(s, d)),
+    // pivot∘unpivot == identity (explicit-values pivot; null cells drop)
+    "q101_pivot_roundtrip" -> ((s: SparkSession, d: String) =>
+      graft.ops.Reshape.pivotRoundtrip(s, d)),
+    // densify to each user's daily grid + forward-fill across gap days
+    "q102_resample_ffill" -> ((s: SparkSession, d: String) =>
+      graft.ops.Resample.dailyFfill(s, d)),
     // ANN over embeddings
     "q30_ann_brute" -> ((s: SparkSession, d: String) => Ann.bruteTopK(s, d)),
     // metadata-FILTERED vector search: top-k restricted to label = 3; the
@@ -997,6 +1010,35 @@ object SparkEntry {
     "q97_countmin" -> OracleSql.q97(4, 256),
     // fmt coin + analytic pixels + tile assignment replayed in SQL
     "q98_tile_mosaic" -> OracleSql.q98(2000),
+    // grouped register file + HUGEINT estimate per event_type
+    "q99_hll_per_group" -> OracleSql.q99(),
+    // both outer null sides hashed row-for-row
+    "q100_outer_join" ->
+      """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey, c.c_name,
+            o.n_big_orders
+          FROM (SELECT c_custkey, c_name FROM customer
+                WHERE c_acctbal > 7000.0) c
+          FULL OUTER JOIN (SELECT o_custkey, count(*)::BIGINT AS n_big_orders
+                FROM orders WHERE o_totalprice > 280000.0 GROUP BY 1) o
+            ON c.c_custkey = o.o_custkey""",
+    // the plain long-form relation — pivot∘unpivot must reproduce it
+    "q101_pivot_roundtrip" ->
+      "SELECT user_id, event_type, count(*)::BIGINT AS n FROM events GROUP BY 1, 2",
+    // grid + left join + IGNORE NULLS forward fill through DuckDB's window
+    "q102_resample_ffill" ->
+      """WITH e AS (SELECT user_id, floor(floor(epoch(ts)) / 86400)::BIGINT AS day,
+              floor(value * 100.0 + 0.5)::BIGINT AS vc FROM events),
+          d AS (SELECT user_id, day, count(*)::BIGINT AS n_events,
+              sum(vc)::BIGINT AS day_cents FROM e GROUP BY 1, 2),
+          sp AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM d GROUP BY 1),
+          grid AS (SELECT user_id, unnest(range(d0, d1 + 1)) AS day FROM sp),
+          j AS (SELECT g.user_id, g.day, coalesce(d.n_events, 0)::BIGINT AS n_events,
+              d.day_cents FROM grid g
+            LEFT JOIN d ON d.user_id = g.user_id AND d.day = g.day)
+          SELECT user_id, day, n_events,
+            last_value(day_cents IGNORE NULLS) OVER (PARTITION BY user_id
+              ORDER BY day ROWS UNBOUNDED PRECEDING) AS carried_cents
+          FROM j""",
     // same gap logic through DuckDB's window engine ((user_id, ts) unique —
     // AsofSpec — so the frames are deterministic)
     "q90_sessionize" ->

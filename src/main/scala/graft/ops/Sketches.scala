@@ -98,6 +98,35 @@ object Sketches {
         StructField("est_distinct", LongType, nullable = false))))
   }
 
+  /** Gate query (q99): HLL sketches AS GROUP COLUMNS — per event_type, the
+    * raw-estimate distinct-user count from a per-group m=64 register file.
+    * One hash aggregation keyed (group, bucket) builds every group's
+    * registers at once (the shuffle carries ≤ groups·m rows); the BigInt
+    * estimate math runs on the collected groups·m scalars. This is the
+    * sketch-column pattern (per-dimension approximate distincts in one
+    * pass) that replaces G sequential countDistinct jobs at 100 TB. */
+  def hllDistinctPerGroup(spark: SparkSession, dir: String, p: Int = 6): DataFrame = {
+    val m = 1 << p
+    val rmax = 64 - p + 1
+    val rest = shiftleft(SeedExprs.mix64(col("user_id")), p)
+    val regs = table(spark, dir, "events").select(col("event_type"), col("user_id"))
+      .select(col("event_type"),
+        shiftrightunsigned(SeedExprs.mix64(col("user_id")), 64 - p).as("bucket"),
+        when(rest === 0L, lit(rmax.toLong))
+          .otherwise(SeedExprs.clz64(rest) + lit(1L)).as("rho"))
+      .groupBy(col("event_type"), col("bucket")).agg(max(col("rho")).as("r"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val rows = regs.groupBy(_._1).toSeq.map { case (etype, bs) =>
+      val full = new Array[Long](m)
+      bs.foreach { case (_, b, r) => full(b.toInt) = r }
+      Row(etype, hllEstimate(full, p))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(StructField("event_type", StringType, nullable = false),
+        StructField("est_users", LongType, nullable = false))))
+  }
+
   /** Gate query (q83): the k=64 sketch of DISTINCT l_partkey with its rank
     * and the resulting estimate (same value on every row). */
   def kmvDistinct(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
