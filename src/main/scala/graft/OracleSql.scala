@@ -880,6 +880,33 @@ object OracleSql {
        |FROM s""".stripMargin
   }
 
+  /** q103: the incremental rollup's target relation computed DIRECTLY (no
+    * partial/merge step — that asymmetry is the point): per-day counts,
+    * cent sums, and the q99-style per-day HLL raw estimate. */
+  def q103(p: Int = 6): String = {
+    val m = 1 << p
+    val rmax = 64 - p + 1
+    s"""WITH e AS (SELECT floor(floor(epoch(ts)) / 86400)::BIGINT AS day, user_id,
+       |        floor(value * 100.0 + 0.5)::BIGINT AS vc FROM events),
+       |h AS (SELECT day, ${mix("user_id")} AS hm FROM e),
+       |b AS (SELECT day, (hm >> ${64 - p}) AS bucket,
+       |        ((hm::HUGEINT * $m) % $M64)::UBIGINT AS rest FROM h),
+       |rh AS (SELECT day, bucket,
+       |        CASE WHEN rest = 0 THEN $rmax ELSE 65 - length(bin(rest)) END AS rho FROM b),
+       |grp AS (SELECT DISTINCT day FROM e),
+       |regs AS (SELECT g.day, r.b AS bucket, coalesce(max(rho), 0)::BIGINT AS r
+       |         FROM grp g CROSS JOIN range($m) r(b)
+       |         LEFT JOIN rh ON rh.day = g.day AND rh.bucket = r.b GROUP BY 1, 2),
+       |s AS (SELECT day, sum((1::HUGEINT << ($rmax - r)))::HUGEINT AS sv FROM regs GROUP BY 1),
+       |est AS (SELECT day,
+       |        ((709::HUGEINT * $m * $m * (1::HUGEINT << $rmax)) // (1000::HUGEINT * sv))::BIGINT AS est_users
+       |        FROM s),
+       |base AS (SELECT day, count(*)::BIGINT AS n_events, sum(vc)::BIGINT AS value_cents
+       |         FROM e GROUP BY 1)
+       |SELECT base.day, base.n_events, base.value_cents, est.est_users
+       |FROM base JOIN est ON base.day = est.day""".stripMargin
+  }
+
   /** q98: the tile-mosaic brightness layer replayed analytically — fmt coin
     * (q33's split) + the four sampled pixels from the synth formula
     * pixel(x,y) = (mix(seed ^ ((y div 8)<<32) ^ (x div 8)) & 0xBF)

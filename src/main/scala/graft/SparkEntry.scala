@@ -194,6 +194,17 @@ object SparkEntry {
     // densify to each user's daily grid + forward-fill across gap days
     "q102_resample_ffill" -> ((s: SparkSession, d: String) =>
       graft.ops.Resample.dailyFfill(s, d)),
+    // two-epoch partial states merged (+ for sums, max for HLL registers)
+    // must equal the oracle's FULL recompute — incremental ingestion algebra
+    "q103_incremental_rollup" -> ((s: SparkSession, d: String) =>
+      graft.ops.Incremental.mergedDailyRollup(s, d)),
+    // deletion-neighborhood candidates + exact two-pointer verify vs the
+    // honest all-pairs levenshtein<=1 oracle (different algorithm family)
+    "q104_editdist_join" -> ((s: SparkSession, d: String) =>
+      graft.ops.FuzzyJoin.nameNeighbors(s, d)),
+    // higher-order array functions, left-to-right FP folds, e6-floored
+    "q105_array_fns" -> ((s: SparkSession, d: String) =>
+      graft.ops.ArrayFns.vectorStats(s, d)),
     // ANN over embeddings
     "q30_ann_brute" -> ((s: SparkSession, d: String) => Ann.bruteTopK(s, d)),
     // metadata-FILTERED vector search: top-k restricted to label = 3; the
@@ -1012,6 +1023,29 @@ object SparkEntry {
     "q98_tile_mosaic" -> OracleSql.q98(2000),
     // grouped register file + HUGEINT estimate per event_type
     "q99_hll_per_group" -> OracleSql.q99(),
+    // DIRECT full recompute — merged partials must equal it as a relation
+    "q103_incremental_rollup" -> OracleSql.q103(),
+    // the honest all-pairs levenshtein join (DuckDB's DP kernel)
+    "q104_editdist_join" ->
+      """WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 3000)
+          SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+            levenshtein(a.c_name, b.c_name)::INT AS dist
+          FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+          WHERE levenshtein(a.c_name, b.c_name) <= 1""",
+    // list_filter/list_position + explicit left-to-right list_reduce folds
+    "q105_array_fns" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS d FROM embeddings)
+          SELECT vec_id,
+            len(list_filter(d, x -> x > 0))::BIGINT AS n_pos,
+            list_position(d, list_max(d))::BIGINT AS max_idx,
+            floor(list_reduce(list_prepend(0.0::DOUBLE,
+                list_transform(d, x -> x * x)), (a, b) -> a + b)
+              * 1000000.0 + 0.5)::BIGINT AS ssq_e6,
+            floor(list_reduce(list_prepend(0.0::DOUBLE,
+                list_transform(list_zip(d, list_reverse(d)),
+                  s -> struct_extract(s, 1) * struct_extract(s, 2))), (a, b) -> a + b)
+              * 1000000.0 + 0.5)::BIGINT AS revdot_e6
+          FROM v""",
     // both outer null sides hashed row-for-row
     "q100_outer_join" ->
       """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey, c.c_name,

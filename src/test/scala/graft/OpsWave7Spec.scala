@@ -397,3 +397,101 @@ class ResampleSpec extends AnyFunSuite {
     }
   }
 }
+
+class IncrementalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("merged two-epoch partials equal a direct single-pass rollup (all measures)") {
+    val merged = graft.ops.Incremental.mergedDailyRollup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    // direct recompute in-Spark (counts/sums plain; registers in one pass)
+    val ev = table(spark, dir, "events")
+      .select(col("user_id"),
+        floor(floor(unix_timestamp(col("ts"))) / lit(86400)).cast("long").as("day"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("vc"))
+    val base = ev.groupBy("day")
+      .agg(count(lit(1)).as("n"), sum("vc").as("cents"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val perDay = ev.select("day", "user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1)
+    val expect = perDay.map { case (day, rows) =>
+      val regs = new Array[Long](64)
+      rows.map(_._2).distinct.foreach { uid =>
+        val h = graft.synth.ImageSynth.mix(uid)
+        val bucket = (h >>> 58).toInt
+        val rest = h << 6
+        val rho = if (rest == 0L) 59L else java.lang.Long.numberOfLeadingZeros(rest) + 1L
+        regs(bucket) = math.max(regs(bucket), rho)
+      }
+      (day, base(day)._1, base(day)._2, graft.ops.Sketches.hllEstimate(regs))
+    }.toSet
+    assert(merged == expect && merged.nonEmpty)
+  }
+}
+
+class FuzzyJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+  import graft.ops.FuzzyJoin
+
+  test("two-pointer ed<=1 check matches a DP reference on exhaustive short strings") {
+    def dp(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val alpha = "abc"
+    val strs = (0 to 3).flatMap(n =>
+      Iterator.fill(1)(List.fill(n)(alpha).flatten).flatMap(_ =>
+        (0 until math.pow(3, n).toInt).map { k =>
+          var v = k; (0 until n).map { _ => val c = alpha(v % 3); v /= 3; c }.mkString
+        })).distinct
+    for (a <- strs; b <- strs)
+      assert(FuzzyJoin.editDistanceLe1(a, b) == (dp(a, b) <= 1), s"'$a' vs '$b'")
+  }
+
+  test("deletion-neighborhood cover: every ed<=1 pair shares a signature (recall 1 vs brute force)") {
+    val got = FuzzyJoin.nameNeighbors(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val names = table(spark, dir, "customer")
+      .select("c_custkey", "c_name").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expect = (for {
+      (ka, na) <- names; (kb, nb) <- names
+      if ka < kb && FuzzyJoin.editDistanceLe1(na, nb)
+    } yield (ka, kb)).toSet
+    assert(got == expect)
+    assert(got.nonEmpty, "no edit-1 name pairs at sf0.001 — vacuous")
+  }
+}
+
+class ArrayFnsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("folds match plain-Scala left-to-right references; argmax is first-occurrence") {
+    val out = graft.ops.ArrayFns.vectorStats(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val vecs = table(spark, dir, "embeddings").select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    assert(out.size == vecs.length)
+    vecs.foreach { case (id, d) =>
+      val nPos = d.count(_ > 0).toLong
+      val maxIdx = (d.indexOf(d.max) + 1).toLong
+      val ssq = d.foldLeft(0.0)((acc, x) => acc + x * x)
+      val rev = d.reverse
+      val revdot = d.indices.map(i => d(i) * rev(i))
+        .foldLeft(0.0)((acc, x) => acc + x)
+      val expect = (nPos, maxIdx,
+        math.floor(ssq * 1000000.0 + 0.5).toLong,
+        math.floor(revdot * 1000000.0 + 0.5).toLong)
+      assert(out(id) == expect, s"vec $id")
+    }
+  }
+}
