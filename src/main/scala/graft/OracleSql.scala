@@ -1006,6 +1006,103 @@ object OracleSql {
        |FROM h GROUP BY 1""".stripMargin
   }
 
+  /** The graft.ops.Graph synthetic edge fixture: draw i connects
+    * mix(2i) % n — mix(2i+1) % n, self-loops dropped. Defines CTEs
+    * `uedges(a,b)` (undirected, a<b, distinct) and `dedges(u,v)`
+    * (directed, distinct). */
+  def graphCtes(n: Int, m: Int): String =
+    s"""draws AS (SELECT i, (${mix("(2*i)::UBIGINT")} & 2147483647) % $n AS u,
+       |                    (${mix("(2*i+1)::UBIGINT")} & 2147483647) % $n AS v
+       |          FROM range(0, $m) t(i)),
+       |uedges AS (SELECT DISTINCT least(u, v)::BIGINT AS a, greatest(u, v)::BIGINT AS b
+       |           FROM draws WHERE u <> v),
+       |dedges AS (SELECT DISTINCT u::BIGINT AS u, v::BIGINT AS v FROM draws WHERE u <> v)"""
+      .stripMargin
+
+  /** Replica oracle for q108 (Graph.triangleCounts): the same degree-
+    * oriented compact-forward enumeration in SQL — orient edges toward
+    * higher (degree, id), wedge-join at the low apex, close against the
+    * undirected edge set, explode each triangle to its three corners. */
+  def q108(n: Int, m: Int): String =
+    s"""WITH ${graphCtes(n, m)},
+       |deg AS (SELECT node, count(*)::BIGINT AS d FROM
+       |        (SELECT a AS node FROM uedges UNION ALL SELECT b FROM uedges) GROUP BY 1),
+       |o AS (SELECT CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.a ELSE e.b END AS lo,
+       |             CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.b ELSE e.a END AS hi
+       |      FROM uedges e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b),
+       |w AS (SELECT o1.lo AS p, o1.hi AS x, o2.hi AS y
+       |      FROM o o1 JOIN o o2 ON o1.lo = o2.lo AND o1.hi < o2.hi),
+       |tri AS (SELECT w.p, w.x, w.y FROM w
+       |        JOIN uedges e ON e.a = least(w.x, w.y) AND e.b = greatest(w.x, w.y))
+       |SELECT node, count(*)::BIGINT AS tri_count FROM
+       |  (SELECT p AS node FROM tri UNION ALL SELECT x FROM tri UNION ALL SELECT y FROM tri)
+       |GROUP BY 1""".stripMargin
+
+  /** Replica oracle for q109 (Graph.pageRank): the exact-integer recurrence
+    * unrolled as one CTE per iteration (DuckDB recursive CTEs disallow the
+    * aggregate in the recursive term) — every rank replays digit-for-digit
+    * because all arithmetic is BIGINT floor division. */
+  def q109(n: Int, m: Int, iters: Int): String = {
+    val r0 = BigInt(10).pow(12) / n
+    val base = BigInt(15) * BigInt(10).pow(12) / (BigInt(100) * n)
+    val rounds = (1 to iters).map { t =>
+      s"""pr$t AS (SELECT n.node, ($base::BIGINT + coalesce(s.contrib, 0))::BIGINT AS r
+         |  FROM range(0,$n) n(node) LEFT JOIN (
+         |    SELECT e.v AS node, sum((85 * p.r) // (100 * o.od))::BIGINT AS contrib
+         |    FROM dedges e JOIN pr${t - 1} p ON p.node = e.u
+         |    JOIN outdeg o ON o.u = e.u GROUP BY 1) s ON s.node = n.node)"""
+        .stripMargin
+    }
+    s"""WITH ${graphCtes(n, m)},
+       |pr0 AS (SELECT node::BIGINT AS node, $r0::BIGINT AS r FROM range(0,$n) t(node)),
+       |outdeg AS (SELECT u, count(*)::BIGINT AS od FROM dedges GROUP BY 1),
+       |${rounds.mkString(",\n")}
+       |SELECT node, r FROM pr$iters""".stripMargin
+  }
+
+  /** Replica oracle for q106 (Analytics.cohortRetention). */
+  val q106: String =
+    """WITH base AS (SELECT user_id, date_diff('day', DATE '2024-01-01', ts::DATE)::BIGINT AS day
+      |              FROM events WHERE event_id % 50 = 0),
+      |c AS (SELECT user_id, min(day) AS cohort FROM base GROUP BY 1)
+      |SELECT c.cohort, b.day - c.cohort AS offset_d, count(DISTINCT b.user_id)::BIGINT AS active
+      |FROM base b JOIN c ON c.user_id = b.user_id GROUP BY 1, 2""".stripMargin
+
+  /** Replica oracle for q107 (Analytics.funnel) — deliberately a DIFFERENT
+    * algorithm family from the engine's per-user fold: three correlated
+    * min-join stages (earliest view; earliest later click; earliest later
+    * purchase), so agreement is evidence, not an echo. */
+  val q107: String =
+    """WITH base AS (SELECT user_id, event_type, epoch_us(ts) AS us
+      |              FROM events WHERE event_id % 11 = 0),
+      |t1 AS (SELECT user_id, min(us) AS t1 FROM base WHERE event_type = 'view' GROUP BY 1),
+      |t2 AS (SELECT b.user_id, min(b.us) AS t2 FROM base b JOIN t1 ON t1.user_id = b.user_id
+      |       WHERE b.event_type = 'click' AND b.us > t1.t1 GROUP BY 1),
+      |t3 AS (SELECT b.user_id, min(b.us) AS t3 FROM base b JOIN t2 ON t2.user_id = b.user_id
+      |       WHERE b.event_type = 'purchase' AND b.us > t2.t2 GROUP BY 1),
+      |u AS (SELECT DISTINCT user_id FROM base)
+      |SELECT u.user_id,
+      |  CASE WHEN t3.t3 IS NOT NULL THEN 3 WHEN t2.t2 IS NOT NULL THEN 2
+      |       WHEN t1.t1 IS NOT NULL THEN 1 ELSE 0 END::BIGINT AS stage,
+      |  t1.t1, t2.t2, t3.t3
+      |FROM u LEFT JOIN t1 ON t1.user_id = u.user_id
+      |LEFT JOIN t2 ON t2.user_id = u.user_id
+      |LEFT JOIN t3 ON t3.user_id = u.user_id""".stripMargin
+
+  /** Replica oracle for q110 (Analytics.emaFold) — list_reduce over the
+    * timestamp-ordered per-user value list, the same left-to-right integer
+    * recurrence (ema' = (3v + 7·ema) // 10 in e6-cents). */
+  val q110: String =
+    """WITH ev AS (SELECT user_id, epoch_us(ts) AS us,
+      |                   floor(value * 100.0 + 0.5)::BIGINT * 1000000 AS v
+      |            FROM events),
+      |folded AS (SELECT user_id,
+      |    list_reduce(list_prepend(-1::BIGINT, list(v ORDER BY us)),
+      |      (acc, x) -> CASE WHEN acc = -1 THEN x ELSE (3 * x + 7 * acc) // 10 END) AS ema_e6c,
+      |    count(*)::BIGINT AS n
+      |  FROM ev GROUP BY 1)
+      |SELECT user_id, ema_e6c, n FROM folded""".stripMargin
+
   /** graft.text.Dedup.simhash64 over the `documents` table → CTE text
     * defining `sim(doc_id, sh)` (sh as UBIGINT; bit-identical to the Scala
     * signed long). */

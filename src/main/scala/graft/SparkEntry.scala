@@ -205,6 +205,25 @@ object SparkEntry {
     // higher-order array functions, left-to-right FP folds, e6-floored
     "q105_array_fns" -> ((s: SparkSession, d: String) =>
       graft.ops.ArrayFns.vectorStats(s, d)),
+    // cohort-retention matrix; cohort derivation + activity join share one
+    // user_id exchange
+    "q106_cohort_retention" -> ((s: SparkSession, d: String) =>
+      graft.ops.Analytics.cohortRetention(s, d)),
+    // ordered view->click->purchase funnel as ONE per-user codegen fold;
+    // oracle is a 3-stage correlated min-join chain (different family)
+    "q107_funnel" -> ((s: SparkSession, d: String) =>
+      graft.ops.Analytics.funnel(s, d)),
+    // degree-oriented compact-forward triangle counting (wedge join bounded
+    // by arboricity, not hub degree)
+    "q108_triangles" -> ((s: SparkSession, _: String) =>
+      graft.ops.Graph.triangleCounts(s)),
+    // exact-integer PageRank, 10 rounds, one shuffle per round, flat lineage
+    "q109_pagerank" -> ((s: SparkSession, _: String) =>
+      graft.ops.Graph.pageRank(s)),
+    // per-user EMA as an exact-integer left fold (Spark aggregate ==
+    // DuckDB list_reduce)
+    "q110_ema" -> ((s: SparkSession, d: String) =>
+      graft.ops.Analytics.emaFold(s, d)),
     // ANN over embeddings
     "q30_ann_brute" -> ((s: SparkSession, d: String) => Ann.bruteTopK(s, d)),
     // metadata-FILTERED vector search: top-k restricted to label = 3; the
@@ -1046,6 +1065,11 @@ object SparkEntry {
                   s -> struct_extract(s, 1) * struct_extract(s, 2))), (a, b) -> a + b)
               * 1000000.0 + 0.5)::BIGINT AS revdot_e6
           FROM v""",
+    "q106_cohort_retention" -> OracleSql.q106,
+    "q107_funnel" -> OracleSql.q107,
+    "q108_triangles" -> OracleSql.q108(250, 1500),
+    "q109_pagerank" -> OracleSql.q109(250, 1500, 10),
+    "q110_ema" -> OracleSql.q110,
     // both outer null sides hashed row-for-row
     "q100_outer_join" ->
       """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey, c.c_name,

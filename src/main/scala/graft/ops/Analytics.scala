@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Session.table
+
+/** Product-analytics operators over the events stream — cohort retention,
+  * ordered funnels, and exponential smoothing. All three are single-shuffle
+  * shapes keyed on user_id; per-user sequence logic runs as codegen'd
+  * higher-order folds over sorted in-row arrays (no UDF, no driver state),
+  * which at 10^12 events is the difference between one exchange and a
+  * window-sort plus N self-joins.
+  */
+object Analytics {
+
+  /** Gate query (q106): classic cohort-retention matrix. Activity is a
+    * deterministic sparse sample (event_id % 50 — the fixture's 150 users
+    * are otherwise all first-active on day 1 and every cohort degenerates);
+    * cohort = a user's first active day, one output row per (cohort,
+    * day-offset) with the distinct-active count. The cohort derivation and
+    * the activity join both key on user_id, so EnsureRequirements reuses one
+    * exchange across the self-join. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val base = table(spark, dir, "events")
+      .where(col("event_id") % 50 === 0)
+      .select(col("user_id"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+          .cast("long").as("day"))
+    val cohorts = base.groupBy("user_id").agg(min(col("day")).as("cohort"))
+    base.join(cohorts, "user_id")
+      .groupBy(col("cohort"), (col("day") - col("cohort")).as("offset_d"))
+      .agg(countDistinct(col("user_id")).as("active"))
+  }
+
+  /** Gate query (q107): strictly-ordered view→click→purchase funnel per
+    * user over a sparse deterministic sample. ONE pass: each user's sampled
+    * events fold left-to-right in timestamp order through a 3-slot state
+    * (earliest view; earliest click after that view; earliest purchase
+    * after that click) — the whole funnel is one groupBy(user) plus a
+    * codegen'd `aggregate` over the sorted in-row array. The DuckDB oracle
+    * computes the same chain as three correlated min-joins — a different
+    * algorithm family, so the hash match is evidence, not an echo.
+    * (user_id, ts) is unique (AsofSpec), so "after" is strict and the fold
+    * order is total. Sentinel -1 = slot unfilled, surfaced as NULL. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val base = table(spark, dir, "events")
+      .where(col("event_id") % 11 === 0)
+      .select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"), col("event_type"))
+    val folded = base
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("us"), col("event_type"))))
+        .as("evs"))
+      .withColumn("st", aggregate(
+        col("evs"),
+        struct(lit(-1L).as("t1"), lit(-1L).as("t2"), lit(-1L).as("t3")),
+        (acc, e) => {
+          val t1 = when(acc("t1") === -1L && e("event_type") === "view",
+            e("us")).otherwise(acc("t1"))
+          // t1 (not acc.t1): a view and a later click in the same fold pass
+          // chain; strict > holds because per-user timestamps are unique
+          val t2 = when(acc("t2") === -1L && t1 =!= -1L &&
+            e("event_type") === "click" && e("us") > t1, e("us"))
+            .otherwise(acc("t2"))
+          val t3 = when(acc("t3") === -1L && t2 =!= -1L &&
+            e("event_type") === "purchase" && e("us") > t2, e("us"))
+            .otherwise(acc("t3"))
+          struct(t1.as("t1"), t2.as("t2"), t3.as("t3"))
+        }))
+      .select(col("user_id"),
+        when(col("st.t3") =!= -1L, 3L).when(col("st.t2") =!= -1L, 2L)
+          .when(col("st.t1") =!= -1L, 1L).otherwise(0L).as("stage"),
+        when(col("st.t1") =!= -1L, col("st.t1")).as("t1"),
+        when(col("st.t2") =!= -1L, col("st.t2")).as("t2"),
+        when(col("st.t3") =!= -1L, col("st.t3")).as("t3"))
+    folded
+  }
+
+  /** Gate query (q110): per-user exponential moving average (α = 0.3) over
+    * the full event stream, folded in exact INTEGER e6-cents — ema' =
+    * (3·v + 7·ema) div 10 — so the inherently sequential recurrence is
+    * still hash-reproducible (Spark `aggregate` ≡ DuckDB `list_reduce`,
+    * both left-to-right over the same timestamp order; FP EMA would
+    * accumulate rounding skew between engines). One shuffle; the sort is
+    * per-user in-row, not a global window sort. */
+  def emaFold(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+      .select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
+        (floor(col("value") * 100.0 + 0.5).cast("long") * 1000000L).as("v"))
+    ev.groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("us"), col("v")))).as("evs"))
+      .select(col("user_id"),
+        aggregate(col("evs"), lit(-1L),
+          // integer div via exact-double floor: 3v+7acc ≤ 10^11 « 2^53, so
+          // the double is the exact integer and /10 is correctly rounded —
+          // floor matches DuckDB's BIGINT `// 10` digit-for-digit (values
+          // are nonnegative cents; pinned by AnalyticsSpec)
+          (acc, e) => when(acc === -1L, e("v"))
+            .otherwise(floor((lit(3L) * e("v") + lit(7L) * acc)
+              .cast("double") / 10.0d).cast("long"))).as("ema_e6c"),
+        size(col("evs")).cast("long").as("n"))
+  }
+}

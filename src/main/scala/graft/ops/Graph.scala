@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.SeedExprs
+
+/** Graph analytics over the dup/interaction pair graphs the engine already
+  * produces (Dedup.dupComponents consumes the same edge shape) — triangle
+  * counting and PageRank, both expressed as joins/aggregations Catalyst can
+  * plan, no driver-side graph state.
+  *
+  * The gate fixture is a deterministic splitmix-synthesized multigraph
+  * (edge draw i connects mix(2i) % n — mix(2i+1) % n), replayable
+  * analytically in DuckDB, so both operators are hash-gated end to end.
+  */
+object Graph {
+
+  /** Nonnegative mix draw in [0, n). */
+  private def draw(i: Column, n: Int): Column =
+    (SeedExprs.mix64(i).bitwiseAND(lit(0x7FFFFFFFL)) % n).cast("long")
+
+  /** The synthetic edge draws: (u, v) per draw id, self-loops dropped.
+    * Duplicate draws survive here; undirected/directed dedup is per-op. */
+  def synthDraws(spark: SparkSession, n: Int, m: Int): DataFrame =
+    spark.range(0, m.toLong)
+      .select(draw(col("id") * 2, n).as("u"), draw(col("id") * 2 + 1, n).as("v"))
+      .where(col("u") =!= col("v"))
+
+  /** Per-node triangle counts via DEGREE-ORIENTED wedge enumeration
+    * (compact-forward): each undirected edge is oriented toward the higher
+    * (degree, id); wedges are enumerated only at their lowest-ordered apex
+    * and closed against the edge set. Orientation bounds per-vertex
+    * out-degree by O(sqrt(m)) on any graph, so the wedge join stays
+    * m^{3/2}-bounded at 10^12 edges where the naive apex-on-id join is
+    * quadratic in the max hub degree. Every step is an equi-join keyed on a
+    * vertex id — three shuffles total, no driver state. Integer counts,
+    * merge-order-free. */
+  def triangleCounts(spark: SparkSession, n: Int = 250, m: Int = 1500): DataFrame = {
+    val uedges = synthDraws(spark, n, m)
+      .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
+      .distinct()
+    val deg = uedges.select(col("a").as("node"))
+      .unionByName(uedges.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    // orient toward higher (deg, id): lexicographic on the (d, id) pair
+    val withDeg = uedges
+      .join(deg.withColumnRenamed("node", "a").withColumnRenamed("d", "da"), "a")
+      .join(deg.withColumnRenamed("node", "b").withColumnRenamed("d", "db"), "b")
+    val aLower = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+      when(aLower, col("a")).otherwise(col("b")).as("lo"),
+      when(aLower, col("b")).otherwise(col("a")).as("hi"))
+    val o1 = oriented.as("o1")
+    val o2 = oriented.as("o2")
+    val wedges = o1.join(o2,
+        col("o1.lo") === col("o2.lo") && col("o1.hi") < col("o2.hi"))
+      .select(col("o1.lo").as("p"), col("o1.hi").as("x"), col("o2.hi").as("y"))
+    val tri = wedges.join(uedges,
+      uedges("a") === least(col("x"), col("y")) &&
+        uedges("b") === greatest(col("x"), col("y")))
+      .select(col("p"), col("x"), col("y"))
+    tri.select(col("p").as("node"))
+      .unionByName(tri.select(col("x").as("node")))
+      .unionByName(tri.select(col("y").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("tri_count"))
+  }
+
+  /** Exact-integer PageRank, `iters` fixed rounds over the directed synth
+    * graph: r_{t+1}(v) = floor(0.15·R0) + Σ_{u→v} floor(0.85·r_t(u) /
+    * outdeg(u)), all arithmetic in BIGINT (85·r // (100·od)) so per-node
+    * sums are merge-order-free and the DuckDB oracle replays every rank
+    * digit-for-digit (FP PageRank would hash-diverge on shuffle order).
+    * Sink mass evaporates by design (documented; rank is a relative score).
+    *
+    * Scale shape: each round is ONE shuffle — the edges⋈ranks join keys on
+    * u (outdeg is fused into the edge set once, up front), the contribution
+    * sum re-keys on v. Ranks are localCheckpoint'ed per round (flat lineage,
+    * the dupComponents discipline) with superseded rounds freed eagerly. */
+  def pageRank(spark: SparkSession, n: Int = 250, m: Int = 1500,
+               iters: Int = 10): DataFrame = {
+    val dedges = synthDraws(spark, n, m).distinct()
+    val outdeg = dedges.groupBy("u").agg(count(lit(1)).as("od"))
+    val edgesOd = dedges.join(outdeg, "u").localCheckpoint()
+    val r0 = BigInt(10).pow(12) / n
+    val base = BigInt(15) * BigInt(10).pow(12) / (BigInt(100) * n)
+    val nodes = spark.range(0, n.toLong).select(col("id").as("node"))
+    var ranks = nodes.withColumn("r", lit(r0.toLong)).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contrib = edgesOd.join(ranks, edgesOd("u") === ranks("node"))
+        .groupBy(col("v"))
+        .agg(sum(expr("(85 * r) div (100 * od)")).as("contrib"))
+      val next = nodes.join(contrib, nodes("node") === contrib("v"), "left")
+        .select(col("node"),
+          (lit(base.toLong) + coalesce(col("contrib"), lit(0L))).as("r"))
+        .localCheckpoint()
+      graft.CacheOps.freeLocalCheckpoint(ranks)
+      ranks = next
+    }
+    graft.CacheOps.freeLocalCheckpoint(edgesOd)
+    ranks
+  }
+}
