@@ -1103,6 +1103,81 @@ object OracleSql {
       |  FROM ev GROUP BY 1)
       |SELECT user_id, ema_e6c, n FROM folded""".stripMargin
 
+  /** Replica oracle for q111 (TextOps.piiScrub) — same planted corpus,
+    * same patterns; md5 of the redacted text pins replacement semantics. */
+  val q111: String =
+    """WITH aug AS (SELECT doc_id,
+      |    text || CASE WHEN doc_id % 3 = 0 THEN ' reach me at user' || doc_id || '@mail.example.org' ELSE '' END
+      |         || CASE WHEN doc_id % 5 = 0 THEN ' or 555-' || lpad(((doc_id * 7919) % 10000)::VARCHAR, 4, '0') ELSE '' END AS t
+      |  FROM documents),
+      |red AS (SELECT doc_id,
+      |    len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+      |    len(regexp_extract_all(t, '555-[0-9]{4}'))::BIGINT AS n_phones,
+      |    regexp_replace(regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |                   '555-[0-9]{4}', '<PHONE>', 'g') AS r
+      |  FROM aug)
+      |SELECT doc_id, n_emails, n_phones, length(r)::BIGINT AS red_len, md5(r) AS red_md5 FROM red"""
+      .stripMargin
+
+  /** The q112 synthetic rectangle sets (graft.spatial.BoxJoin.synthBoxes),
+    * replayed via the shared splitmix arithmetic. */
+  private def boxCte(n: Int, base: Long, wBase: Long, hBase: Long,
+                     p: String): String =
+    s"""(SELECT i AS ${p}id,
+       |   (${mix(s"($base+2*i)::UBIGINT")} & 1048575) / 1048575.0 * 350.0 - 180.0 AS ${p}x0,
+       |   (${mix(s"($base+2*i+1)::UBIGINT")} & 1048575) / 1048575.0 * 170.0 - 90.0 AS ${p}y0,
+       |   1.0 + (${mix(s"($wBase+i)::UBIGINT")} & 255) / 256.0 * 3.0 AS ${p}w,
+       |   0.5 + (${mix(s"($hBase+i)::UBIGINT")} & 255) / 256.0 * 2.0 AS ${p}h
+       |   FROM range(0,$n) t(i))""".stripMargin
+
+  /** Replica oracle for q112 (BoxJoin.overlapJoin) — the HONEST all-pairs
+    * overlap predicate (no candidate pruning), so the hash match proves the
+    * cell-cover candidate set has recall 1. */
+  def q112(na: Int, nb: Int): String =
+    s"""WITH ba AS ${boxCte(na, 1000L, 5000L, 7000L, "a")},
+       |bb AS ${boxCte(nb, 9000L, 13000L, 17000L, "b")}
+       |SELECT aid, bid FROM ba JOIN bb ON
+       |  ax0 <= bx0 + bw AND bx0 <= ax0 + aw AND ay0 <= by0 + bh AND by0 <= ay0 + ah"""
+      .stripMargin
+
+  /** Replica oracle for q113 (BoxJoin.tileDensity). */
+  val q113: String =
+    """WITH p AS (SELECT fmod(value, 360.0) - 180.0 AS lon, (user_id % 181 - 90)::DOUBLE AS lat FROM events),
+      |t AS (SELECT least(floor((lon+180)/360.0*64), 63)::BIGINT AS tx,
+      |             least(floor((lat+90)/180.0*64), 63)::BIGINT AS ty FROM p),
+      |k AS (SELECT tx + dx AS x, ty + dy AS y,
+      |             CASE WHEN dx = 0 AND dy = 0 THEN 4 WHEN dx = 0 OR dy = 0 THEN 2 ELSE 1 END AS w
+      |      FROM t, range(-1,2) a(dx), range(-1,2) b(dy))
+      |SELECT x, y, sum(w)::BIGINT AS density FROM k
+      |WHERE x >= 0 AND x < 64 AND y >= 0 AND y < 64 GROUP BY 1, 2""".stripMargin
+
+  /** Replica oracle for q114 (OrderStats.groupedMedian) — lower median and
+    * nearest-rank p90 via the same deterministic (cents, orderkey) rank. */
+  val q114: String =
+    """WITH o AS (SELECT o_orderpriority AS grp, floor(o_totalprice * 100.0 + 0.5)::BIGINT AS cents,
+      |                  o_orderkey FROM orders),
+      |r AS (SELECT grp, cents, row_number() OVER (PARTITION BY grp ORDER BY cents, o_orderkey) AS rn,
+      |             count(*) OVER (PARTITION BY grp) AS n FROM o)
+      |SELECT grp,
+      |  max(CASE WHEN rn = (n + 1) // 2 THEN cents END)::BIGINT AS median_cents,
+      |  max(CASE WHEN rn = (9 * n + 9) // 10 THEN cents END)::BIGINT AS p90_cents,
+      |  max(n)::BIGINT AS n
+      |FROM r GROUP BY grp""".stripMargin
+
+  /** Replica oracle for q115 (OrderStats.skyline) — the honest NOT-EXISTS
+    * dominance predicate over distinct points (a different algorithm family
+    * from the engine's range-partitioned prefix-max scan). */
+  val q115: String =
+    """WITH p AS (SELECT floor(p_retailprice * 100.0 + 0.5)::BIGINT AS price_c, p_size FROM part),
+      |d AS (SELECT DISTINCT price_c, p_size FROM p),
+      |sky AS (SELECT d.price_c, d.p_size FROM d
+      |        WHERE NOT EXISTS (SELECT 1 FROM d q
+      |          WHERE q.price_c <= d.price_c AND q.p_size >= d.p_size
+      |            AND (q.price_c < d.price_c OR q.p_size > d.p_size)))
+      |SELECT s.price_c, s.p_size::BIGINT AS size, count(*)::BIGINT AS n_parts
+      |FROM sky s JOIN p ON p.price_c = s.price_c AND p.p_size = s.p_size GROUP BY 1, 2"""
+      .stripMargin
+
   /** graft.text.Dedup.simhash64 over the `documents` table → CTE text
     * defining `sim(doc_id, sh)` (sh as UBIGINT; bit-identical to the Scala
     * signed long). */

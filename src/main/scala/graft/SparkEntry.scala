@@ -224,6 +224,25 @@ object SparkEntry {
     // DuckDB list_reduce)
     "q110_ema" -> ((s: SparkSession, d: String) =>
       graft.ops.Analytics.emaFold(s, d)),
+    // PII detect + redact on a planted corpus; md5 of the redacted text
+    // pins the exact replacement semantics cross-engine
+    "q111_pii_scrub" -> ((s: SparkSession, d: String) =>
+      TextOps.piiScrub(s, d)),
+    // rectangle-overlap join via grid-cell-cover candidates vs the honest
+    // all-pairs oracle (recall-1 proof, the q86 shape for 2-D extents)
+    "q112_bbox_overlap" -> ((s: SparkSession, _: String) =>
+      graft.spatial.BoxJoin.overlapJoin(s)),
+    // 3x3 integer-kernel tile smoothing; map-side border replication, one
+    // hash agg, no halo exchange
+    "q113_tile_density" -> ((s: SparkSession, d: String) =>
+      graft.spatial.BoxJoin.tileDensity(s, d)),
+    // exact grouped lower-median + nearest-rank p90 in integer cents
+    "q114_grouped_median" -> ((s: SparkSession, d: String) =>
+      graft.ops.OrderStats.groupedMedian(s, d)),
+    // distributed 2-D skyline: range-partitioned local scans + prefix-max
+    // boundary filter (NOT a single-partition global window)
+    "q115_skyline" -> ((s: SparkSession, d: String) =>
+      graft.ops.OrderStats.skyline(s, d)),
     // ANN over embeddings
     "q30_ann_brute" -> ((s: SparkSession, d: String) => Ann.bruteTopK(s, d)),
     // metadata-FILTERED vector search: top-k restricted to label = 3; the
@@ -1070,6 +1089,11 @@ object SparkEntry {
     "q108_triangles" -> OracleSql.q108(250, 1500),
     "q109_pagerank" -> OracleSql.q109(250, 1500, 10),
     "q110_ema" -> OracleSql.q110,
+    "q111_pii_scrub" -> OracleSql.q111,
+    "q112_bbox_overlap" -> OracleSql.q112(150, 600),
+    "q113_tile_density" -> OracleSql.q113,
+    "q114_grouped_median" -> OracleSql.q114,
+    "q115_skyline" -> OracleSql.q115,
     // both outer null sides hashed row-for-row
     "q100_outer_join" ->
       """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey, c.c_name,

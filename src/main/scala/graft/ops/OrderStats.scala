@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Session.table
+
+/** Distributed order statistics: exact grouped quantiles and the 2-D skyline
+  * (Pareto frontier). Both are EXACT — integer cents, deterministic
+  * tie-breaks — so they hash-gate against DuckDB; percentile_approx-style
+  * sketches already exist separately (q95 mergeable histogram quantiles).
+  */
+object OrderStats {
+
+  /** Gate query (q114): exact per-group lower-median and nearest-rank p90 of
+    * order totals in integer cents. The rank window partitions BY GROUP —
+    * each group sorts inside its own hash partition (one exchange, no global
+    * sort); (cents, o_orderkey) is a total order so ranks are deterministic.
+    * For groups too large to sort in one task the binary-search-on-domain
+    * + count refinement is the documented fallback; at G ≈ thousands of
+    * groups × millions of rows each, per-group task sort is the right plan. */
+  def groupedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+      .select(col("o_orderpriority").as("grp"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"),
+        col("o_orderkey"))
+    val w = Window.partitionBy("grp").orderBy(col("cents"), col("o_orderkey"))
+    val n = Window.partitionBy("grp")
+    o.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(n))
+      .groupBy("grp")
+      .agg(
+        max(when(col("rn") === expr("(n + 1) div 2"), col("cents")))
+          .as("median_cents"),
+        max(when(col("rn") === expr("(9 * n + 9) div 10"), col("cents")))
+          .as("p90_cents"),
+        max(col("n")).as("n"))
+  }
+
+  /** Gate query (q115): the 2-D skyline (minimize price, maximize size) of
+    * the part table, with the member count per skyline point.
+    *
+    * DISTRIBUTED sort-based skyline — deliberately not a `Window.orderBy`
+    * with no partition key (that plans every row into ONE task, the classic
+    * local-mode trap that dies at scale):
+    *   1. distinct (price, size) points, range-repartitioned on
+    *      (price asc, size desc) and sorted within partitions;
+    *   2. per-partition LOCAL skyline via a linear running-strict-max scan
+    *      (mapPartitions — imperative per-partition logic is the documented
+    *      last resort, and a positional scan is exactly that);
+    *   3. per-partition max-size scalars (P values) collect to the driver;
+    *      each partition then drops local-skyline points dominated by any
+    *      EARLIER partition's prefix max — a broadcast of a P-length array,
+    *      never a second shuffle.
+    * Dominance is strict-in-one-coordinate (ties are mutually non-dominating
+    * but collapse in the distinct step); the DuckDB oracle is the honest
+    * NOT-EXISTS dominance predicate — a different algorithm family. */
+  def skyline(spark: SparkSession, dir: String, parts: Int = 8): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val all = table(spark, dir, "part")
+      .select(floor(col("p_retailprice") * 100.0 + 0.5).cast("long")
+        .as("price_c"), col("p_size").cast("long").as("size"))
+    val pts = all.distinct()
+      .repartitionByRange(parts, col("price_c"), col("size").desc)
+      .sortWithinPartitions(col("price_c"), col("size").desc)
+    val tup = Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong,
+      Encoders.scalaLong, Encoders.scalaLong)
+    // one pass: each partition's local skyline, tagged with the partition
+    // ordinal and that partition's running max so the driver can build the
+    // prefix-max boundary vector without a second scan
+    val local = pts.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var runmax = Long.MinValue
+      it.flatMap { r =>
+        val p = r.getLong(0); val s = r.getLong(1)
+        if (s > runmax) { runmax = s; Iterator((pid, p, s, runmax)) }
+        else Iterator.empty
+      }
+    }
+    val localDf = spark.createDataset(local)(tup)
+      .toDF("pid", "price_c", "size", "runmax")
+      .localCheckpoint() // one scan feeds both the maxes collect and the filter
+    // P scalars to the driver: max size per partition, in partition order
+    // (a partition's local-skyline max IS its max — the first point reaching
+    // the partition max always survives the strict-running-max scan)
+    val maxes = localDf.groupBy("pid").agg(max(col("size")).as("mx"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = Long.MinValue
+    val prefix = maxes.map { case (pid, mx) =>
+      val row = (pid, acc); acc = math.max(acc, mx); row
+    }
+    import spark.implicits._
+    val prefixDf = broadcast(prefix.toSeq.toDF("pid", "prefix_max"))
+    val sky = localDf.join(prefixDf, "pid")
+      .where(col("size") > col("prefix_max"))
+      .select(col("price_c"), col("size"))
+    val out = sky.join(all, Seq("price_c", "size"))
+      .groupBy("price_c", "size").agg(count(lit(1)).as("n_parts"))
+      .localCheckpoint() // eager, so the P-sized intermediate can be freed now
+    graft.CacheOps.freeLocalCheckpoint(localDf)
+    out
+  }
+}

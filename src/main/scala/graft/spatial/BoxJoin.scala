@@ -1,0 +1,94 @@
+package graft.spatial
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.SeedExprs
+
+/** Rectangle–rectangle overlap join (changeset-bbox × AOI-bbox shape,
+  * changesets README: area-filtered changeset rectangles) via grid-cell
+  * cover candidates + exact overlap verify — the generate→verify pattern
+  * the dedup/ANN tiers use, applied to 2-D extents.
+  *
+  * Candidate completeness: two rectangles overlap iff their intersection is
+  * a non-empty rectangle; that rectangle lies inside some grid cell row/col
+  * range, and any cell containing a piece of it belongs to BOTH covers — so
+  * the (cell ⋈ cell) equi-join has recall 1 (the oracle proves it against
+  * the honest all-pairs predicate). Exchange carries (cell, id, extent)
+  * rows: cover size is bounded by ceil(w/cellW)·ceil(h/cellH), and at
+  * 10^12 rows the cell key is exactly the co-location key Iceberg-style
+  * layouts bucket on (q62's layout). A bbox spanning many cells is the
+  * skew knob — cell size must be chosen ≥ typical extent (here 5.6°×2.8°
+  * vs extents ≤ 4°×2.5°, so covers are ≤ 2×2 ≈ 4 cells).
+  */
+object BoxJoin {
+
+  private def u20(seed: Column): Column =
+    SeedExprs.mix64(seed).bitwiseAND(lit(1048575L)).cast("double") / 1048575.0
+
+  private def u8(seed: Column): Column =
+    SeedExprs.mix64(seed).bitwiseAND(lit(255L)).cast("double") / 256.0
+
+  /** Deterministic rectangle set: id, x0, y0, w, h (replayed analytically by
+    * the DuckDB oracle via the shared splitmix arithmetic). */
+  def synthBoxes(spark: SparkSession, n: Int, base: Long, wBase: Long,
+                 hBase: Long, prefix: String): DataFrame = {
+    val id = col("id")
+    spark.range(0, n.toLong).select(
+      id.as(s"${prefix}id"),
+      (u20(id * 2 + base) * 350.0 - 180.0).as(s"${prefix}x0"),
+      (u20(id * 2 + 1 + base) * 170.0 - 90.0).as(s"${prefix}y0"),
+      (u8(id + wBase) * 3.0 + 1.0).as(s"${prefix}w"),
+      (u8(id + hBase) * 2.0 + 0.5).as(s"${prefix}h"))
+  }
+
+  /** Explode a rectangle to its covering cells on the 64×64 lon/lat grid. */
+  private def withCells(df: DataFrame, x0: String, y0: String, w: String,
+                        h: String): DataFrame =
+    df.withColumn("x", explode(sequence(
+        greatest(floor((col(x0) + 180.0) / 5.625).cast("long"), lit(0L)),
+        least(floor((col(x0) + col(w) + 180.0) / 5.625).cast("long"), lit(63L)))))
+      .withColumn("y", explode(sequence(
+        greatest(floor((col(y0) + 90.0) / 2.8125).cast("long"), lit(0L)),
+        least(floor((col(y0) + col(h) + 90.0) / 2.8125).cast("long"), lit(63L)))))
+
+  /** Gate query (q112): all overlapping (a, b) rectangle pairs. */
+  def overlapJoin(spark: SparkSession, na: Int = 150, nb: Int = 600): DataFrame = {
+    val a = withCells(synthBoxes(spark, na, 1000L, 5000L, 7000L, "a"),
+      "ax0", "ay0", "aw", "ah")
+    val b = withCells(synthBoxes(spark, nb, 9000L, 13000L, 17000L, "b"),
+      "bx0", "by0", "bw", "bh")
+    a.join(b, Seq("x", "y"))
+      .where(col("ax0") <= col("bx0") + col("bw") &&
+        col("bx0") <= col("ax0") + col("aw") &&
+        col("ay0") <= col("by0") + col("bh") &&
+        col("by0") <= col("ay0") + col("ah"))
+      .select(col("aid"), col("bid"))
+      .distinct() // a pair can share up to 4 cells
+  }
+
+  /** Gate query (q113): 3×3-kernel tile-smoothed density over the event
+    * point cloud — integer kernel weights (4/2/2/1) so the per-tile sums are
+    * merge-order-free and hash-exact. The neighborhood explode is the
+    * standard border-replication trick for distributed raster smoothing:
+    * each point contributes to 9 (tile, weight) rows map-side, then ONE
+    * hash aggregation — no cross-partition halo exchange, because the
+    * replication happens before the shuffle rather than after it. */
+  def tileDensity(spark: SparkSession, dir: String): DataFrame = {
+    val pts = SpatialQueries.eventPoints(spark, dir)
+    val offs = array((for (dx <- -1 to 1; dy <- -1 to 1) yield
+      struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"),
+        lit(if (dx == 0 && dy == 0) 4L else if (dx == 0 || dy == 0) 2L else 1L)
+          .as("w"))): _*)
+    pts.select(
+        least(floor((col("lon") + 180.0) / 360.0 * 64.0), lit(63.0))
+          .cast("long").as("tx"),
+        least(floor((col("lat") + 90.0) / 180.0 * 64.0), lit(63.0))
+          .cast("long").as("ty"))
+      .withColumn("o", explode(offs))
+      .select((col("tx") + col("o.dx")).as("x"), (col("ty") + col("o.dy")).as("y"),
+        col("o.w"))
+      .where(col("x") >= 0 && col("x") < 64 && col("y") >= 0 && col("y") < 64)
+      .groupBy("x", "y").agg(sum(col("w")).as("density"))
+  }
+}

@@ -278,4 +278,37 @@ object TextOps {
       .select(col("doc_id"), col("term"), col("score_e6"),
         col("rank").cast("int").as("rank"))
   }
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "555-[0-9]{4}"
+
+  /** Gate query (q111): PII detection + redaction — the scrub pass every
+    * training-data pipeline runs before tokenization. The corpus carries no
+    * ambient PII (asserted by TextSpec), so deterministic emails/phones are
+    * PLANTED per doc_id residue class and the expected counts are known by
+    * construction; detection counts, the redacted length, AND the md5 of the
+    * redacted text all hash-gate (md5 pins the exact replacement semantics,
+    * not just the match count — both engines implement standard leftmost-
+    * longest-free regex alternation-free patterns chosen to mean the same
+    * thing in java.util.regex and RE2). Pure map-side: scan → project, no
+    * shuffle; at 100 TB this runs inside the scan's codegen span with the
+    * regexes compiled once per task. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val aug = table(spark, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" reach me at user"), col("doc_id"),
+            lit("@mail.example.org"))).otherwise(""),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" or 555-"),
+            lpad(((col("doc_id") * 7919) % 10000).cast("string"), 4, "0")))
+          .otherwise("")).as("t"))
+    aug.select(col("doc_id"),
+      regexp_count(col("t"), lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(col("t"), lit(PhoneRe)).cast("long").as("n_phones"),
+      regexp_replace(regexp_replace(col("t"), EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>").as("r"))
+      .select(col("doc_id"), col("n_emails"), col("n_phones"),
+        length(col("r")).cast("long").as("red_len"), md5(col("r")).as("red_md5"))
+  }
 }
