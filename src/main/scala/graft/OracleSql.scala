@@ -1178,6 +1178,70 @@ object OracleSql {
       |FROM sky s JOIN p ON p.price_c = s.price_c AND p.p_size = s.p_size GROUP BY 1, 2"""
       .stripMargin
 
+  /** Image CTEs for the full-frame kernels: idx, seed-derived (w, h, png
+    * coin), and the per-8×8-block base draws (mix(seed ^ (by<<32) ^ bx)
+    * & 0xBF — ImageSynth.render's block hash with VARIABLE xor, so it can't
+    * ride geotagCtes' constant-xor extraHashes). Ends in `blk(idx, w, h,
+    * base)` over PNG rows only. */
+  private def imageBlockCtes(n: Long): String =
+    s"""${geotagCtes(n, Seq(("hw", 2L), ("hh", 3L), ("hfmt", 5L)))},
+       |img AS (SELECT idx, seed,
+       |  [16,32,64][((hw & 2147483647) % 3)::INT + 1] AS w,
+       |  [16,32,64][((hh & 2147483647) % 3)::INT + 1] AS h
+       |FROM st3 WHERE (hfmt & 1) = 0),
+       |blk AS (SELECT idx, w, h,
+       |  (${mix("xor(xor(seed, (by::UBIGINT << 32)), bx::UBIGINT)")} & 191)::BIGINT AS base
+       |FROM img, range(0,8) tb(bx), range(0,8) tc(by)
+       |WHERE bx < w // 8 AND by < h // 8)""".stripMargin
+
+  /** Replica oracle for q116 (Pyramid.imageIntegral): full-frame brightness
+    * integral in closed form — per 8×8 block, Σ pixels = 64·base + 1568
+    * (Σ 3·(x%8) + 4·(y%8) over the block = 1568; verified against a direct
+    * per-pixel render in Wave13Spec). */
+  def q116(n: Long): String =
+    s"""WITH ${imageBlockCtes(n)}
+       |SELECT idx::BIGINT AS idx, max(w)::INT AS w, max(h)::INT AS h,
+       |  (sum(64 * base) + count(*) * 1568)::BIGINT AS sum_brightness
+       |FROM blk GROUP BY idx""".stripMargin
+
+  /** Replica oracle for q117 (Pyramid.pyramidSums): the 2×2 floor-mean
+    * downsample in closed form — level-1 block sum = 16·base + 384,
+    * level-2 = 4·base + 96 (floor-exact because the in-block ramp terms
+    * are even; verified against a direct downsample in Wave13Spec). */
+  def q117(n: Long): String =
+    s"""WITH ${imageBlockCtes(n)}
+       |SELECT idx::BIGINT AS idx,
+       |  (sum(16 * base) + count(*) * 384)::BIGINT AS lvl1_sum,
+       |  (sum(4 * base) + count(*) * 96)::BIGINT AS lvl2_sum
+       |FROM blk GROUP BY idx""".stripMargin
+
+  /** Replica oracle for q118 (Sessionize.staySegments) — identical lag/
+    * running-sum segmentation with the haversine spelled term-for-term as
+    * SpatialQueries.haversineKmCol (the q86 FP discipline) and per-step
+    * e6-floored km so segment sums are exact integers. */
+  def q118(radiusKm: Double): String = {
+    val hav =
+      """2*6371.0088*asin(least(1.0, sqrt(
+        | sin((((lat - plat)/180.0)*pi())/2)*sin((((lat - plat)/180.0)*pi())/2)
+        | + cos((plat/180.0)*pi())*cos((lat/180.0)*pi())
+        | * sin((((lon - plon)/180.0)*pi())/2)*sin((((lon - plon)/180.0)*pi())/2))))"""
+        .stripMargin
+    s"""WITH p AS (SELECT user_id, epoch_us(ts) AS us,
+       |    fmod(value, 360.0) - 180.0 AS lon, (user_id % 181 - 90)::DOUBLE AS lat FROM events),
+       |l AS (SELECT *, lag(lon) OVER w AS plon, lag(lat) OVER w AS plat FROM p
+       |      WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+       |f AS (SELECT user_id, us,
+       |      CASE WHEN plon IS NULL OR $hav > $radiusKm THEN 1 ELSE 0 END AS brk,
+       |      CASE WHEN plon IS NULL OR $hav > $radiusKm THEN 0
+       |           ELSE floor($hav * 1000000.0 + 0.5)::BIGINT END AS step_e6 FROM l),
+       |s AS (SELECT user_id, us, step_e6,
+       |      sum(brk) OVER (PARTITION BY user_id ORDER BY us) AS sid FROM f)
+       |SELECT user_id, sid::BIGINT AS sid, count(*)::BIGINT AS n_points,
+       |  min(us)::BIGINT AS start_us, max(us)::BIGINT AS end_us,
+       |  sum(step_e6)::BIGINT AS km_e6
+       |FROM s GROUP BY 1, 2""".stripMargin
+  }
+
   /** graft.text.Dedup.simhash64 over the `documents` table → CTE text
     * defining `sim(doc_id, sh)` (sh as UBIGINT; bit-identical to the Scala
     * signed long). */

@@ -243,6 +243,17 @@ object SparkEntry {
     // boundary filter (NOT a single-partition global window)
     "q115_skyline" -> ((s: SparkSession, d: String) =>
       graft.ops.OrderStats.skyline(s, d)),
+    // full-frame brightness integral: EVERY pixel of every PNG row decoded
+    // and summed, gated against the closed-form block oracle
+    "q116_image_integral" -> ((s: SparkSession, _: String) =>
+      graft.multimodal.Pyramid.imageIntegral(s)),
+    // real 2x2 floor-mean downsample applied twice; both level sums gated
+    "q117_pyramid" -> ((s: SparkSession, _: String) =>
+      graft.multimodal.Pyramid.pyramidSums(s)),
+    // spatial sessionization / trajectory segmentation with exact-integer
+    // per-segment path length
+    "q118_stay_segments" -> ((s: SparkSession, d: String) =>
+      graft.ops.Sessionize.staySegments(s, d)),
     // ANN over embeddings
     "q30_ann_brute" -> ((s: SparkSession, d: String) => Ann.bruteTopK(s, d)),
     // metadata-FILTERED vector search: top-k restricted to label = 3; the
@@ -1094,6 +1105,9 @@ object SparkEntry {
     "q113_tile_density" -> OracleSql.q113,
     "q114_grouped_median" -> OracleSql.q114,
     "q115_skyline" -> OracleSql.q115,
+    "q116_image_integral" -> OracleSql.q116(1200),
+    "q117_pyramid" -> OracleSql.q117(1200),
+    "q118_stay_segments" -> OracleSql.q118(6000.0),
     // both outer null sides hashed row-for-row
     "q100_outer_join" ->
       """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey, c.c_name,

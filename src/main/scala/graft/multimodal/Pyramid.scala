@@ -1,0 +1,75 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{ImagePipeline, Validate}
+import graft.synth.ImageSynth
+
+/** Full-frame raster kernels over the stored image table — the decode-heavy
+  * pair to q98's 4-pixel sampling:
+  *
+  *  - [[imageIntegral]] (q116): EVERY pixel of every PNG row contributes to
+  *    a per-image brightness integral — the strongest possible decode gate
+  *    (q98 proved 4 samples per image; this proves the whole frame).
+  *  - [[pyramidSums]] (q117): a real 2×2 floor-mean downsample run TWICE
+  *    (the thumbnail/pyramid kernel every multimodal pipeline ships) with
+  *    both level sums gated per image.
+  *
+  * Scale shape (the q33/q98 discipline): decode + kernel run INSIDE the
+  * partition that read the bytes; only (idx, w, h, sums) leave the scan —
+  * bytes never enter an exchange, and there is no shuffle at all (the gate
+  * relation is per-image). The DuckDB oracle replays both kernels in closed
+  * form from the synth block structure (base + 3·(x%8) + 4·(y%8)):
+  * level-0 block sum = 64·base + 1568, level-1 = 16·base + 384, level-2 =
+  * 4·base + 96 — derived once, verified against a direct per-pixel render
+  * in the spec, so a hash match proves the real decode AND the real
+  * downsample arithmetic, frame-complete.
+  */
+object Pyramid {
+
+  final case class IntRow(idx: Long, w: Int, h: Int, sum_brightness: Long)
+  final case class PyrRow(idx: Long, lvl1_sum: Long, lvl2_sum: Long)
+
+  private def pixels(bytes: Array[Byte], fmt: String): (Array[Int], Int, Int) = {
+    val img = Validate.decode(bytes, fmt)
+    val w = img.getWidth; val h = img.getHeight
+    val buf = new Array[Int](w * h)
+    img.getRGB(0, 0, w, h, buf, 0, w)
+    (buf, w, h)
+  }
+
+  /** Gate query (q116): per-PNG-image full-frame brightness integral. */
+  def imageIntegral(spark: SparkSession, n: Long = 1200, parts: Int = 16): DataFrame =
+    ImagePipeline.synthTable(spark, n, parts)
+      .filter(_.fmt == "png")
+      .mapPartitions { it =>
+        it.map { r =>
+          val (buf, w, h) = pixels(r.bytes, r.fmt)
+          var s = 0L; var i = 0
+          while (i < buf.length) { s += (buf(i) & 0xFF); i += 1 }
+          IntRow(r.image_id.stripPrefix("img").toLong, w, h, s)
+        }
+      }(Encoders.product[IntRow])
+      .toDF()
+
+  /** Gate query (q117): per-PNG-image level-1 and level-2 pyramid sums
+    * (2×2 floor-mean downsample applied once, then again to its output). */
+  def pyramidSums(spark: SparkSession, n: Long = 1200, parts: Int = 16): DataFrame =
+    ImagePipeline.synthTable(spark, n, parts)
+      .filter(_.fmt == "png")
+      .mapPartitions { it =>
+        it.map { r =>
+          val (buf, w, h) = pixels(r.bytes, r.fmt)
+          val g = Array.tabulate(h, w)((y, x) => (buf(y * w + x) & 0xFF).toLong)
+          def down(m: Array[Array[Long]]): Array[Array[Long]] =
+            Array.tabulate(m.length / 2, m(0).length / 2)((y, x) =>
+              (m(2 * y)(2 * x) + m(2 * y)(2 * x + 1) +
+                m(2 * y + 1)(2 * x) + m(2 * y + 1)(2 * x + 1)) / 4)
+          val l1 = down(g); val l2 = down(l1)
+          PyrRow(r.image_id.stripPrefix("img").toLong,
+            l1.map(_.sum).sum, l2.map(_.sum).sum)
+        }
+      }(Encoders.product[PyrRow])
+      .toDF()
+}

@@ -43,4 +43,36 @@ object Sessionize {
         sum(floor(col("value") * lit(100.0) + lit(0.5)).cast("long"))
           .as("value_cents"))
   }
+
+  /** Gate query (q118): SPATIAL sessionization (trajectory segmentation /
+    * stay-point detection) — per user, a new segment starts at the first
+    * point and at every point farther than `radiusKm` (haversine) from its
+    * predecessor. Same one-exchange shape as [[sessions]] (lag, running
+    * sum, and rollup all key on user_id); the geometry rides the q20 FP
+    * discipline — the haversine Column algebra is replicated term-for-term
+    * in the oracle, and the per-step kms are e6-floored BEFORE summing so
+    * the per-segment path length is an exact integer in any merge order. */
+  def staySegments(spark: SparkSession, dir: String,
+                   radiusKm: Double = 6000.0): DataFrame = {
+    // the q20 point cloud, re-derived inline with the event timestamp
+    val pts = table(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("us"),
+        (col("value") % 360.0 - 180.0).as("lon"),
+        (col("user_id") % 181 - 90).cast("double").as("lat"))
+    val w = Window.partitionBy("user_id").orderBy("us")
+    val stepped = pts
+      .withColumn("plon", lag(col("lon"), 1).over(w))
+      .withColumn("plat", lag(col("lat"), 1).over(w))
+      .withColumn("step_km", graft.spatial.SpatialQueries.haversineKmCol(
+        col("plat"), col("plon"), col("lat"), col("lon")))
+      .withColumn("brk",
+        when(col("plon").isNull || col("step_km") > radiusKm, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("brk")).over(w))
+    stepped.groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("n_points"),
+        min(col("us")).as("start_us"), max(col("us")).as("end_us"),
+        sum(when(col("brk") === 0L,
+          floor(col("step_km") * 1000000.0 + 0.5).cast("long")).otherwise(0L))
+          .as("km_e6"))
+  }
 }
