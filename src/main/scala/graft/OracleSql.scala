@@ -1242,6 +1242,72 @@ object OracleSql {
        |FROM s GROUP BY 1, 2""".stripMargin
   }
 
+  /** Replica oracle for q119 (Checkpoint.timeTravelGate): the as-of-epoch-0
+    * read must return exactly ids [0, n0) routed by the same hex-cell/bucket
+    * arithmetic — a DATA-content rollup (id sums), independent of the
+    * manifest lineage q62/q64 gate. */
+  def q119(n0: Long, buckets: Int, hexRes: Int = 7): String =
+    s"""WITH ${hexBucketCtes(n0, buckets, hexRes)}
+       |SELECT bucket::INT AS bucket, count(*)::BIGINT AS row_count,
+       |  sum(idx)::BIGINT AS sum_idx, min(idx)::BIGINT AS min_idx,
+       |  max(idx)::BIGINT AS max_idx
+       |FROM bk GROUP BY 1""".stripMargin
+
+  /** The CDC fixture shared by q121/q122/q123 (Lakehouse.synthBase/
+    * synthDelta), replayed via the shared splitmix arithmetic. */
+  private def cdcCtes(nBase: Int, nDelta: Int, keyspace: Int): String =
+    s"""base AS (SELECT k AS key, (${mix("xor(k::UBIGINT, 47710::UBIGINT)")} & 65535)::BIGINT AS val
+       |         FROM range(0, $nBase) t(k)),
+       |delta AS (SELECT seq,
+       |    ((${mix("(5000000+seq)::UBIGINT")} & 2147483647) % $keyspace)::BIGINT AS key,
+       |    ((${mix("(6000000+seq)::UBIGINT")} & 2147483647) % 3)::BIGINT AS op,
+       |    (${mix("(7000000+seq)::UBIGINT")} & 65535)::BIGINT AS val
+       |  FROM range(0, $nDelta) t(seq)),
+       |latest AS (SELECT key, op, val FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn FROM delta) WHERE rn = 1),
+       |merged AS (SELECT coalesce(b.key, l.key) AS key,
+       |    CASE WHEN l.key IS NULL THEN b.val ELSE l.val END AS val,
+       |    CASE WHEN l.key IS NULL THEN 'base' ELSE 'delta' END AS src
+       |  FROM base b FULL OUTER JOIN latest l ON b.key = l.key
+       |  WHERE NOT (l.key IS NOT NULL AND l.op = 2))""".stripMargin
+
+  /** Replica oracle for q121 (Lakehouse.mergeApply). */
+  def q121(nBase: Int, nDelta: Int, keyspace: Int): String =
+    s"""WITH ${cdcCtes(nBase, nDelta, keyspace)}
+       |SELECT key, val, src FROM merged""".stripMargin
+
+  /** Replica oracle for q122 (Lakehouse.scd2) — upserts open intervals, the
+    * key's next op (any type) closes them. */
+  def q122(nBase: Int, nDelta: Int, keyspace: Int): String =
+    s"""WITH ${cdcCtes(nBase, nDelta, keyspace)},
+       |v AS (SELECT key, seq, op, val, lead(seq) OVER (PARTITION BY key ORDER BY seq) AS nxt FROM delta)
+       |SELECT key, seq AS valid_from, val, nxt AS valid_to,
+       |  (nxt IS NULL)::BIGINT AS is_current
+       |FROM v WHERE op <> 2""".stripMargin
+
+  /** Replica oracle for q123 (Lakehouse.changeFeed). */
+  def q123(nBase: Int, nDelta: Int, keyspace: Int): String =
+    s"""WITH ${cdcCtes(nBase, nDelta, keyspace)}
+       |SELECT coalesce(b.key, m.key) AS key,
+       |  CASE WHEN b.key IS NULL THEN 'insert' WHEN m.key IS NULL THEN 'delete' ELSE 'update' END AS change,
+       |  b.val AS old_val, m.val AS new_val
+       |FROM base b FULL OUTER JOIN merged m ON b.key = m.key
+       |WHERE b.key IS NULL OR m.key IS NULL OR b.val <> m.val""".stripMargin
+
+  /** Replica oracle for q120 (Lakehouse.compactionPlan). */
+  def q120(nFiles: Int): String =
+    s"""WITH files AS (SELECT f, (f % 8)::BIGINT AS bucket,
+       |    (1000000 + (${mix("(3000000+f)::UBIGINT")} & 2147483647) % 127000000)::BIGINT AS size
+       |  FROM range(0, $nFiles) t(f)),
+       |cand AS (SELECT * FROM files WHERE size < 32000000),
+       |j AS (SELECT bucket, f, size,
+       |    (sum(size) OVER (PARTITION BY bucket ORDER BY f ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) AS cum_before
+       |  FROM cand)
+       |SELECT bucket, (coalesce(cum_before, 0) // 256000000)::BIGINT AS job,
+       |  count(*)::BIGINT AS n_files, sum(size)::BIGINT AS total_bytes,
+       |  min(f)::BIGINT AS min_f, max(f)::BIGINT AS max_f
+       |FROM j GROUP BY 1, 2""".stripMargin
+
   /** graft.text.Dedup.simhash64 over the `documents` table → CTE text
     * defining `sim(doc_id, sh)` (sh as UBIGINT; bit-identical to the Scala
     * signed long). */

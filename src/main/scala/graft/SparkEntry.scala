@@ -254,6 +254,22 @@ object SparkEntry {
     // per-segment path length
     "q118_stay_segments" -> ((s: SparkSession, d: String) =>
       graft.ops.Sessionize.staySegments(s, d)),
+    // time-travel read of the epoch-checkpointed store: as-of filter is a
+    // partition-column predicate -> epoch-1 dirs pruned before any scan
+    "q119_time_travel" -> ((s: SparkSession, _: String) =>
+      graft.pipeline.Checkpoint.timeTravelGate(s, 400L, 650L)),
+    // compaction planning: per-bucket running-size threshold, one exchange
+    "q120_compaction_plan" -> ((s: SparkSession, _: String) =>
+      graft.ops.Lakehouse.compactionPlan(s)),
+    // MERGE-style CDC apply (latest-op-wins; merge-on-read resolution)
+    "q121_cdc_merge" -> ((s: SparkSession, _: String) =>
+      graft.ops.Lakehouse.mergeApply(s)),
+    // SCD2 validity intervals from the CDC stream
+    "q122_scd2" -> ((s: SparkSession, _: String) =>
+      graft.ops.Lakehouse.scd2(s)),
+    // change feed between base and merged snapshots (insert/delete/update)
+    "q123_change_feed" -> ((s: SparkSession, _: String) =>
+      graft.ops.Lakehouse.changeFeed(s)),
     // ANN over embeddings
     "q30_ann_brute" -> ((s: SparkSession, d: String) => Ann.bruteTopK(s, d)),
     // metadata-FILTERED vector search: top-k restricted to label = 3; the
@@ -1108,6 +1124,11 @@ object SparkEntry {
     "q116_image_integral" -> OracleSql.q116(1200),
     "q117_pyramid" -> OracleSql.q117(1200),
     "q118_stay_segments" -> OracleSql.q118(6000.0),
+    "q119_time_travel" -> OracleSql.q119(400L, 8),
+    "q120_compaction_plan" -> OracleSql.q120(500),
+    "q121_cdc_merge" -> OracleSql.q121(800, 400, 1000),
+    "q122_scd2" -> OracleSql.q122(800, 400, 1000),
+    "q123_change_feed" -> OracleSql.q123(800, 400, 1000),
     // both outer null sides hashed row-for-row
     "q100_outer_join" ->
       """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey, c.c_name,

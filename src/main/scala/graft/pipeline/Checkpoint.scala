@@ -153,6 +153,33 @@ object Checkpoint {
         "n_pixels_ok", "n_captions_ok")
   }
 
+  /** Gate shape for time-travel reads (q119): build the 2-epoch store, then
+    * read it AS OF epoch 0 — `epoch <= asOf` is a partition-column predicate,
+    * so Spark's partition discovery prunes every epoch-1 directory before a
+    * single byte is scanned (the Iceberg snapshot-isolation read re-expressed
+    * as partition pruning; PlanSpec asserts the pruning reaches the scan).
+    * The emitted relation is a per-bucket rollup of the DATA rows (count +
+    * id sum/min/max parsed from the stored image_id) — a content-level check
+    * independent of the manifests q62/q64 gate, so a hash match proves the
+    * as-of read returned exactly the rows committed at that snapshot: no
+    * epoch-1 leakage, no epoch-0 loss. */
+  def timeTravelGate(spark: SparkSession, n0: Long, n1: Long, asOf: Int = 0,
+                     buckets: Int = 8, parts: Int = 8): DataFrame = {
+    val dir = Files.createTempDirectory("graft_ckpt_tt")
+    try {
+      runEpoch(spark, 0, 0L, n0, dir.toString, buckets, parts)
+      runEpoch(spark, 1, n0, n1, dir.toString, buckets, parts)
+      val idx = substring(col("image_id"), 4, 16).cast("long")
+      spark.read.parquet(s"$dir/data")
+        .where(col("epoch") <= asOf)
+        .select(col("bucket"), idx.as("idx"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("row_count"), sum(col("idx")).as("sum_idx"),
+          min(col("idx")).as("min_idx"), max(col("idx")).as("max_idx"))
+        .localCheckpoint() // eager: the scratch store is deleted on return
+    } finally deleteRecursively(dir)
+  }
+
   /** Structured-Streaming face of the epoch-checkpointed layout: a file
     * stream over `data/` whose partition discovery yields (epoch, bucket)
     * columns. With `Trigger.AvailableNow` + a query checkpointLocation this

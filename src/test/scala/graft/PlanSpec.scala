@@ -61,6 +61,21 @@ class PlanSpec extends AnyFunSuite {
       graft.pipeline.Checkpoint.deleteRecursively(java.nio.file.Paths.get(dir))
     }
   }
+
+  test("time-travel read: the as-of epoch predicate prunes at planning time (q119)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tt_prune").toString
+    try {
+      graft.pipeline.Checkpoint.runEpoch(spark, 0, 0L, 150L, dir, buckets = 4, parts = 4)
+      graft.pipeline.Checkpoint.runEpoch(spark, 1, 150L, 260L, dir, buckets = 4, parts = 4)
+      val df = spark.read.parquet(s"$dir/data").filter(col("epoch") <= 0)
+      val scan = df.queryExecution.executedPlan.collectLeaves().mkString("\n")
+      assert("PartitionFilters: \\[[^\\]]*epoch".r.findFirstIn(scan).isDefined,
+        s"epoch predicate not inside PartitionFilters:\n$scan")
+      assert(df.count() == 150L, "as-of read must see exactly the epoch-0 rows")
+    } finally {
+      graft.pipeline.Checkpoint.deleteRecursively(java.nio.file.Paths.get(dir))
+    }
+  }
 }
 
 class BucketedJoinSpec extends AnyFunSuite {
