@@ -1308,6 +1308,56 @@ object OracleSql {
        |  min(f)::BIGINT AS min_f, max(f)::BIGINT AS max_f
        |FROM j GROUP BY 1, 2""".stripMargin
 
+  /** Replica oracle for q124 (TextOps.bigramLm) — the same word-bigram MLE
+    * integer scoring, bigrams formed by list_zip over the split tokens. */
+  val q124: String =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |bg AS (SELECT doc_id, unnest(list_zip(ts[1:len(ts)-1], ts[2:len(ts)])) AS p FROM tok WHERE len(ts) >= 2),
+      |bgf AS (SELECT doc_id, struct_extract(p, 1) AS w1, struct_extract(p, 2) AS w2 FROM bg),
+      |cb AS (SELECT w1, w2, count(*)::BIGINT AS c FROM bgf GROUP BY 1, 2),
+      |cp AS (SELECT w1, count(*)::BIGINT AS c FROM bgf GROUP BY 1)
+      |SELECT f.doc_id, count(*)::BIGINT AS n_bigrams,
+      |  sum((1000000 * cb.c) // cp.c)::BIGINT AS score_e6
+      |FROM bgf f JOIN cb ON f.w1 = cb.w1 AND f.w2 = cb.w2 JOIN cp ON f.w1 = cp.w1
+      |GROUP BY 1""".stripMargin
+
+  /** Replica oracle for q125 (Graph.kCore) — the peeling recurrence unrolled
+    * as MATERIALIZED CTE rounds (two idempotent rounds past the fixpoint;
+    * plain CTEs re-inline per reference and blow up exponentially). */
+  def q125(n: Int, m: Int, k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { t =>
+      val prev = if (t == 1) "e0" else s"e${t - 1}"
+      s"""s$t AS MATERIALIZED (SELECT node FROM
+         |  (SELECT node, count(*) AS d FROM
+         |    (SELECT a AS node FROM $prev UNION ALL SELECT b FROM $prev) GROUP BY 1)
+         |  WHERE d >= $k),
+         |e$t AS MATERIALIZED (SELECT e.a, e.b FROM $prev e
+         |  JOIN s$t x ON x.node = e.a JOIN s$t y ON y.node = e.b)""".stripMargin
+    }
+    s"""WITH draws AS (SELECT i, (${mix("(2*i)::UBIGINT")} & 2147483647) % $n AS u,
+       |                    (${mix("(2*i+1)::UBIGINT")} & 2147483647) % $n AS v
+       |          FROM range(0, $m) t(i)),
+       |e0 AS MATERIALIZED (SELECT DISTINCT least(u, v)::BIGINT AS a, greatest(u, v)::BIGINT AS b
+       |       FROM draws WHERE u <> v),
+       |${steps.mkString(",\n")}
+       |SELECT node, count(*)::BIGINT AS core_deg FROM
+       |  (SELECT a AS node FROM e$rounds UNION ALL SELECT b FROM e$rounds) GROUP BY 1"""
+      .stripMargin
+  }
+
+  /** Replica oracle for q126 (TextOps.invertedQuery). */
+  def q126(terms: Seq[String]): String = {
+    val in = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH tf AS (SELECT doc_id, w, count(*)::BIGINT AS tf FROM
+       |    (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w IN ($in) GROUP BY 1, 2)
+       |SELECT doc_id, count(*)::BIGINT AS n_terms, sum(tf)::BIGINT AS total_tf,
+       |  max(CASE WHEN w = '${terms(0)}' THEN tf END)::BIGINT AS tf_0,
+       |  max(CASE WHEN w = '${terms(1)}' THEN tf END)::BIGINT AS tf_1,
+       |  max(CASE WHEN w = '${terms(2)}' THEN tf END)::BIGINT AS tf_2
+       |FROM tf GROUP BY 1 HAVING count(*) = ${terms.length}""".stripMargin
+  }
+
   /** graft.text.Dedup.simhash64 over the `documents` table → CTE text
     * defining `sim(doc_id, sh)` (sh as UBIGINT; bit-identical to the Scala
     * signed long). */

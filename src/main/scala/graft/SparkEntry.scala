@@ -270,6 +270,17 @@ object SparkEntry {
     // change feed between base and merged snapshots (insert/delete/update)
     "q123_change_feed" -> ((s: SparkSession, _: String) =>
       graft.ops.Lakehouse.changeFeed(s)),
+    // word-bigram MLE quality scoring: train once, broadcast the vocab-sized
+    // model, score map-side in exact integers
+    "q124_bigram_lm" -> ((s: SparkSession, d: String) =>
+      TextOps.bigramLm(s, d)),
+    // k-core via iterative peeling; per-round localCheckpoint + eager free,
+    // loud non-convergence refusal
+    "q125_kcore" -> ((s: SparkSession, _: String) =>
+      graft.ops.Graph.kCore(s)),
+    // inverted-index build + conjunctive AND-query over posting lists
+    "q126_inverted_query" -> ((s: SparkSession, d: String) =>
+      TextOps.invertedQuery(s, d)),
     // ANN over embeddings
     "q30_ann_brute" -> ((s: SparkSession, d: String) => Ann.bruteTopK(s, d)),
     // metadata-FILTERED vector search: top-k restricted to label = 3; the
@@ -1129,6 +1140,9 @@ object SparkEntry {
     "q121_cdc_merge" -> OracleSql.q121(800, 400, 1000),
     "q122_scd2" -> OracleSql.q122(800, 400, 1000),
     "q123_change_feed" -> OracleSql.q123(800, 400, 1000),
+    "q124_bigram_lm" -> OracleSql.q124,
+    "q125_kcore" -> OracleSql.q125(250, 1500, 8, 10),
+    "q126_inverted_query" -> OracleSql.q126(Seq("dup", "key", "fast")),
     // both outer null sides hashed row-for-row
     "q100_outer_join" ->
       """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey, c.c_name,

@@ -100,4 +100,50 @@ object Graph {
     graft.CacheOps.freeLocalCheckpoint(edgesOd)
     ranks
   }
+
+  /** Gate query (q125): the k-core of the synth graph — iterative peeling
+    * (drop nodes with degree < k, re-derive degrees, repeat to fixpoint),
+    * the standard dense-subgraph primitive for community/spam detection
+    * over dup/interaction graphs. Each round is two keyed shuffles (degree
+    * agg + survivor semi-join) with the edge set localCheckpoint'ed per
+    * round (flat lineage, superseded rounds freed eagerly — the
+    * dupComponents discipline); the round's own materializing count doubles
+    * as the convergence signal (no second action). Peeling converges in
+    * ≤ rounds-to-fixpoint regardless of order (the k-core is
+    * order-independent), and a non-converged exit refuses loudly rather
+    * than returning a superset. Output: each surviving node with its
+    * core-subgraph degree. */
+  def kCore(spark: SparkSession, n: Int = 250, m: Int = 1500, k: Int = 8,
+            maxRounds: Int = 64): DataFrame = {
+    var edges = synthDraws(spark, n, m)
+      .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
+      .distinct().localCheckpoint()
+    var cnt = edges.count()
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val surv = edges.select(col("a").as("node"))
+        .unionByName(edges.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+        .where(col("d") >= k).select("node")
+      val next = edges
+        .join(surv.withColumnRenamed("node", "a"), "a")
+        .join(surv.withColumnRenamed("node", "b"), "b")
+        .select("a", "b").localCheckpoint()
+      val nextCnt = next.count()
+      graft.CacheOps.freeLocalCheckpoint(edges)
+      edges = next
+      converged = nextCnt == cnt
+      cnt = nextCnt
+      rounds += 1
+    }
+    require(converged || rounds < maxRounds,
+      s"kCore did not converge within $maxRounds rounds — refusing to return a superset")
+    val out = edges.select(col("a").as("node"))
+      .unionByName(edges.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("core_deg"))
+      .localCheckpoint() // eager, so the final edge set can be freed now
+    graft.CacheOps.freeLocalCheckpoint(edges)
+    out
+  }
 }

@@ -279,6 +279,55 @@ object TextOps {
         col("rank").cast("int").as("rank"))
   }
 
+  /** Gate query (q124): statistical LM quality scoring — a word-bigram MLE
+    * model trained on the corpus in one aggregation, then every document
+    * scored by Σ floor(10^6 · c(w1,w2) / c(w1·)) over its bigrams (the
+    * integer-lattice stand-in for Σ log p, monotone per term and exactly
+    * replayable — FP log-probs would hash-diverge on merge order). The
+    * model tables are vocabulary-sized (bigram types, not tokens), so both
+    * joins BROADCAST: at 10^12 documents the corpus is scanned twice and
+    * never reshuffled — the model-scoring shape (train → broadcast →
+    * map-side score) every quality-filter pipeline at scale uses. */
+  def bigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val bg = table(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .where(size(col("ts")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ts)-1), i -> struct(ts[i-1] AS w1, ts[i] AS w2))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.w1"), col("p.w2"))
+    val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val cp = bg.groupBy("w1").agg(count(lit(1)).as("cp"))
+    bg.join(broadcast(cb), Seq("w1", "w2"))
+      .join(broadcast(cp), Seq("w1"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(expr("(1000000 * cb) div cp")).as("score_e6"))
+  }
+
+  /** Gate query (q126): inverted-index build + conjunctive term query — the
+    * text-retrieval primitive (build postings once, answer AND-queries by
+    * intersection). The tf table IS the posting list relation keyed on
+    * term; the conjunction is one aggregation over the three query terms'
+    * postings (HAVING all terms present), never a scan of non-matching
+    * documents — at 10^12 docs the query cost is Σ posting lengths, which
+    * is why the index exists. Terms chosen for non-trivial selectivity
+    * ('dup' df≈5%). */
+  def invertedQuery(spark: SparkSession, dir: String,
+                    terms: Seq[String] = Seq("dup", "key", "fast")): DataFrame = {
+    val tf = table(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .where(col("w").isin(terms: _*)) // posting-list access, pushed to scan
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    tf.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("tf")).as("total_tf"),
+        max(when(col("w") === terms(0), col("tf"))).as("tf_0"),
+        max(when(col("w") === terms(1), col("tf"))).as("tf_1"),
+        max(when(col("w") === terms(2), col("tf"))).as("tf_2"))
+      .where(col("n_terms") === terms.length)
+  }
+
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val PhoneRe = "555-[0-9]{4}"
 
