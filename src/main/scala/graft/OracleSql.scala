@@ -1358,6 +1358,54 @@ object OracleSql {
        |FROM tf GROUP BY 1 HAVING count(*) = ${terms.length}""".stripMargin
   }
 
+  /** Replica oracle for q127 (BoxJoin.adaptiveTiles) — same one-pass fine
+    * counts + coarse rollup + hot-tile classification. */
+  def q127(cap: Long): String =
+    s"""WITH p AS (SELECT fmod(value, 360.0) - 180.0 AS lon, (user_id % 181 - 90)::DOUBLE AS lat FROM events),
+       |g AS (SELECT least(floor((lon+180)/360.0*256), 255)::BIGINT AS x8,
+       |             least(floor((lat+90)/180.0*256), 255)::BIGINT AS y8 FROM p),
+       |c8 AS (SELECT x8, y8, x8 // 4 AS x6, y8 // 4 AS y6, count(*)::BIGINT AS n FROM g GROUP BY 1, 2, 3, 4),
+       |c6 AS (SELECT x6, y6, sum(n)::BIGINT AS n FROM c8 GROUP BY 1, 2),
+       |hot AS (SELECT x6, y6 FROM c6 WHERE n > $cap),
+       |fine AS (SELECT c8.x8 AS x, c8.y8 AS y, 8::BIGINT AS z, c8.n
+       |         FROM c8 JOIN hot ON c8.x6 = hot.x6 AND c8.y6 = hot.y6),
+       |coarse AS (SELECT c6.x6 AS x, c6.y6 AS y, 6::BIGINT AS z, c6.n FROM c6 ANTI JOIN hot USING (x6, y6))
+       |SELECT x, y, z, n FROM coarse UNION ALL SELECT x, y, z, n FROM fine""".stripMargin
+
+  /** Replica oracle for q128 (Analytics.groupedTrend). */
+  val q128: String =
+    """WITH d AS (SELECT event_type, date_diff('day', DATE '2024-01-01', ts::DATE)::BIGINT AS day
+      |           FROM events),
+      |dc AS (SELECT event_type, day, count(*)::BIGINT AS y FROM d GROUP BY 1, 2)
+      |SELECT event_type, count(*)::BIGINT AS n, sum(day)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+      |  sum(day * y)::BIGINT AS sxy, sum(day * day)::BIGINT AS sxx,
+      |  (count(*) * sum(day * y) - sum(day) * sum(y))::BIGINT AS slope_num,
+      |  (count(*) * sum(day * day) - sum(day) * sum(day))::BIGINT AS slope_den
+      |FROM dc GROUP BY 1""".stripMargin
+
+  /** Replica oracle for q129 (Dedup.prefixFilterJoin) — the HONEST all-pairs
+    * Jaccard join over the same word-3-gram sets (no prefix pruning), so the
+    * hash match proves the prefix-filter candidate set has recall 1. */
+  def q129(tauNum: Int, tauDen: Int): String =
+    s"""WITH sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+       |       FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |            range(1, 2000) t(i) WHERE i + 2 <= len(ts)),
+       |sz AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*)::BIGINT AS c
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT da, db, c AS n_inter, (za.n + zb.n - c)::BIGINT AS n_union
+       |FROM inter JOIN sz za ON za.doc_id = da JOIN sz zb ON zb.doc_id = db
+       |WHERE $tauDen * c >= $tauNum * (za.n + zb.n - c)""".stripMargin
+
+  /** Replica oracle for q130 (Analytics.markovTransitions). */
+  val q130: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |l AS (SELECT user_id, event_type AS t_to, lag(event_type) OVER (PARTITION BY user_id ORDER BY us) AS t_from FROM e),
+      |c AS (SELECT t_from, t_to, count(*)::BIGINT AS n FROM l WHERE t_from IS NOT NULL GROUP BY 1, 2),
+      |row_ AS (SELECT t_from, sum(n)::BIGINT AS row_n FROM c GROUP BY 1)
+      |SELECT c.t_from, c.t_to, c.n, (1000000 * c.n) // row_.row_n AS p_e6
+      |FROM c JOIN row_ ON row_.t_from = c.t_from""".stripMargin
+
   /** graft.text.Dedup.simhash64 over the `documents` table → CTE text
     * defining `sim(doc_id, sh)` (sh as UBIGINT; bit-identical to the Scala
     * signed long). */

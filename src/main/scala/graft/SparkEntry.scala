@@ -281,6 +281,20 @@ object SparkEntry {
     // inverted-index build + conjunctive AND-query over posting lists
     "q126_inverted_query" -> ((s: SparkSession, d: String) =>
       TextOps.invertedQuery(s, d)),
+    // adaptive quadtree: hot coarse tiles refine to the finer level; ONE
+    // pass over points, coarse = rollup of fine
+    "q127_adaptive_tiles" -> ((s: SparkSession, d: String) =>
+      graft.spatial.BoxJoin.adaptiveTiles(s, d)),
+    // grouped least-squares trend as exact integer moments + rational slope
+    "q128_grouped_trend" -> ((s: SparkSession, d: String) =>
+      graft.ops.Analytics.groupedTrend(s, d)),
+    // exact set-similarity join via prefix filtering (recall 1 by theorem,
+    // proven against the honest all-pairs oracle)
+    "q129_prefix_filter_join" -> ((s: SparkSession, d: String) =>
+      Dedup.prefixFilterJoin(s, d)),
+    // first-order Markov transition matrix, e6 row-normalized
+    "q130_markov" -> ((s: SparkSession, d: String) =>
+      graft.ops.Analytics.markovTransitions(s, d)),
     // ANN over embeddings
     "q30_ann_brute" -> ((s: SparkSession, d: String) => Ann.bruteTopK(s, d)),
     // metadata-FILTERED vector search: top-k restricted to label = 3; the
@@ -1143,6 +1157,10 @@ object SparkEntry {
     "q124_bigram_lm" -> OracleSql.q124,
     "q125_kcore" -> OracleSql.q125(250, 1500, 8, 10),
     "q126_inverted_query" -> OracleSql.q126(Seq("dup", "key", "fast")),
+    "q127_adaptive_tiles" -> OracleSql.q127(15L),
+    "q128_grouped_trend" -> OracleSql.q128,
+    "q129_prefix_filter_join" -> OracleSql.q129(6, 10),
+    "q130_markov" -> OracleSql.q130,
     // both outer null sides hashed row-for-row
     "q100_outer_join" ->
       """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey, c.c_name,

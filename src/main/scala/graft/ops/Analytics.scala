@@ -77,6 +77,50 @@ object Analytics {
     folded
   }
 
+  /** Gate query (q128): grouped linear trend — per event type, the
+    * least-squares slope of daily counts over time, carried as EXACT integer
+    * moments (n, Σx, Σy, Σxy, Σx²) and the slope as an exact rational
+    * (num, den) — the q80 exact-rational discipline applied to regression:
+    * FP division happens at presentation, never inside the aggregation, so
+    * the fit is merge-order-free and hash-gateable. Two keyed aggregations,
+    * the second over (groups × days) rows only. */
+  def groupedTrend(spark: SparkSession, dir: String): DataFrame = {
+    val dc = table(spark, dir, "events")
+      .select(col("event_type"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+          .cast("long").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("y"))
+    dc.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("day")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("day") * col("y")).as("sxy"),
+        sum(col("day") * col("day")).as("sxx"))
+      .select(col("event_type"), col("n"), col("sx"), col("sy"), col("sxy"),
+        col("sxx"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
+  }
+
+  /** Gate query (q130): first-order Markov transition matrix over each
+    * user's event-type sequence — transition counts via one lag window
+    * (keyed on user_id) plus row-normalized probabilities in exact e6
+    * integers (the row sums are a groups²-sized relation, broadcast back).
+    * The behavioral-model estimation shape: one pass, one exchange over
+    * events, model-sized everything after. */
+  def markovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("us")
+    val c = table(spark, dir, "events")
+      .select(col("user_id"), col("event_type").as("t_to"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .withColumn("t_from", lag(col("t_to"), 1).over(w))
+      .where(col("t_from").isNotNull)
+      .groupBy("t_from", "t_to").agg(count(lit(1)).as("n"))
+    val rows = c.groupBy("t_from").agg(sum(col("n")).as("row_n"))
+    c.join(broadcast(rows), "t_from")
+      .select(col("t_from"), col("t_to"), col("n"),
+        expr("(1000000 * n) div row_n").as("p_e6"))
+  }
+
   /** Gate query (q110): per-user exponential moving average (α = 0.3) over
     * the full event stream, folded in exact INTEGER e6-cents — ema' =
     * (3·v + 7·ema) div 10 — so the inherently sequential recurrence is

@@ -91,4 +91,31 @@ object BoxJoin {
       .where(col("x") >= 0 && col("x") < 64 && col("y") >= 0 && col("y") < 64)
       .groupBy("x", "y").agg(sum(col("w")).as("density"))
   }
+
+  /** Gate query (q127): adaptive quadtree refinement — coarse (z6-style
+    * 64×64) tiles whose count exceeds `cap` are re-emitted at the finer
+    * 256×256 level; the rest stay coarse. ONE pass over the points: counts
+    * aggregate at the FINE level first, the coarse level is a rollup of the
+    * fine counts (tiles, not points, enter the second exchange — the
+    * hierarchical-rollup trick that makes adaptive indexing affordable at
+    * 10^12 rows), and the hot-tile set is broadcast back over the fine
+    * relation. This is the density-adaptive layout step a skewed metro
+    * table needs before bucketing (SkewSpec's subject, as an operator). */
+  def adaptiveTiles(spark: SparkSession, dir: String, cap: Long = 15L): DataFrame = {
+    val g = SpatialQueries.eventPoints(spark, dir).select(
+      least(floor((col("lon") + 180.0) / 360.0 * 256.0), lit(255.0))
+        .cast("long").as("x8"),
+      least(floor((col("lat") + 90.0) / 180.0 * 256.0), lit(255.0))
+        .cast("long").as("y8"))
+    val c8 = g.groupBy(col("x8"), col("y8"),
+        expr("x8 div 4").as("x6"), expr("y8 div 4").as("y6"))
+      .agg(count(lit(1)).as("n"))
+    val c6 = c8.groupBy("x6", "y6").agg(sum(col("n")).as("n"))
+    val hot = c6.where(col("n") > cap).select("x6", "y6")
+    val fine = c8.join(broadcast(hot), Seq("x6", "y6"))
+      .select(col("x8").as("x"), col("y8").as("y"), lit(8L).as("z"), col("n"))
+    val coarse = c6.join(broadcast(hot), Seq("x6", "y6"), "left_anti")
+      .select(col("x6").as("x"), col("y6").as("y"), lit(6L).as("z"), col("n"))
+    coarse.unionByName(fine)
+  }
 }
