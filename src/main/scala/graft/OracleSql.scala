@@ -1406,6 +1406,106 @@ object OracleSql {
       |SELECT c.t_from, c.t_to, c.n, (1000000 * c.n) // row_.row_n AS p_e6
       |FROM c JOIN row_ ON row_.t_from = c.t_from""".stripMargin
 
+  /** Replica oracle for q131 (BoxJoin.gridClusters) — same hot tiles and
+    * adjacency, components via recursive-CTE closure (a different algorithm
+    * family from the engine's label propagation — the q63 discipline). */
+  def q131(minPts: Long): String =
+    s"""WITH RECURSIVE p AS (SELECT fmod(value, 360.0) - 180.0 AS lon, (user_id % 181 - 90)::DOUBLE AS lat FROM events),
+       |g AS (SELECT least(floor((lon+180)/360.0*64), 63)::BIGINT AS x,
+       |             least(floor((lat+90)/180.0*64), 63)::BIGINT AS y FROM p),
+       |c AS (SELECT x, y, count(*)::BIGINT AS n FROM g GROUP BY 1, 2),
+       |hot AS (SELECT x, y, x * 64 + y AS tid, n FROM c WHERE n >= $minPts),
+       |e0 AS (SELECT h1.tid AS a, h2.tid AS b FROM hot h1 JOIN hot h2
+       |       ON (h2.x = h1.x + 1 AND h2.y = h1.y) OR (h2.x = h1.x AND h2.y = h1.y + 1)),
+       |e AS (SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b, a FROM e0),
+       |verts AS (SELECT DISTINCT u AS tid FROM e),
+       |reach(tid, r) AS (
+       |  SELECT tid, tid FROM verts
+       |  UNION
+       |  SELECT e.u, reach.r FROM e JOIN reach ON reach.tid = e.v),
+       |lab0 AS (SELECT tid, min(r) AS label FROM reach GROUP BY 1),
+       |lab AS (SELECT tid, label FROM lab0
+       |        UNION ALL
+       |        SELECT tid, tid FROM hot WHERE tid NOT IN (SELECT tid FROM verts))
+       |SELECT l.label AS cluster, count(*)::BIGINT AS n_tiles, sum(h.n)::BIGINT AS n_points
+       |FROM lab l JOIN hot h ON h.tid = l.tid GROUP BY 1""".stripMargin
+
+  /** Replica oracle for q132 (TextOps.termLift). */
+  def q132(minCab: Long): String =
+    s"""WITH t AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |cw AS (SELECT w, count(*)::BIGINT AS c FROM t GROUP BY 1),
+       |pair AS (SELECT a.w AS wa, b.w AS wb, count(*)::BIGINT AS cab
+       |         FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.w < b.w GROUP BY 1, 2),
+       |n AS (SELECT count(DISTINCT doc_id)::BIGINT AS nd FROM t)
+       |SELECT wa, wb, cab, (1000000 * n.nd * cab) // (ca.c * cb.c) AS lift_e6
+       |FROM pair, n JOIN cw ca ON ca.w = wa JOIN cw cb ON cb.w = wb
+       |WHERE cab >= $minCab""".stripMargin
+
+  /** Replica oracle for q133 (ArrayFns.minMaxScale). */
+  val q133: String =
+    """WITH v AS (SELECT vec_id, unnest(embedding::DOUBLE[]) AS val,
+      |                  generate_subscripts(embedding, 1) AS d FROM embeddings),
+      |s AS (SELECT d, min(val) AS mn, max(val) AS mx FROM v GROUP BY 1),
+      |sc AS (SELECT vec_id,
+      |    CASE WHEN s.mx = s.mn THEN 0
+      |         ELSE floor((v.val - s.mn) / (s.mx - s.mn) * 1000000.0 + 0.5)::BIGINT END AS e
+      |  FROM v JOIN s ON s.d = v.d)
+      |SELECT vec_id, count(*)::BIGINT AS n_dims, sum(e)::BIGINT AS sum_scaled_e6
+      |FROM sc GROUP BY 1""".stripMargin
+
+  /** Replica oracle for q134 (Analytics.madAnomalies) — same lower-median
+    * rank rule for both the median and the MAD. */
+  val q134: String =
+    """WITH e AS (SELECT event_type AS grp, floor(value * 100.0 + 0.5)::BIGINT AS cents, event_id FROM events),
+      |r1 AS (SELECT grp, cents, row_number() OVER (PARTITION BY grp ORDER BY cents, event_id) AS rn,
+      |              count(*) OVER (PARTITION BY grp) AS n FROM e),
+      |med AS (SELECT grp, max(CASE WHEN rn = (n + 1) // 2 THEN cents END)::BIGINT AS med FROM r1 GROUP BY grp),
+      |ad AS (SELECT e.grp, abs(e.cents - med.med) AS dev, e.event_id FROM e JOIN med ON med.grp = e.grp),
+      |r2 AS (SELECT grp, dev, row_number() OVER (PARTITION BY grp ORDER BY dev, event_id) AS rn,
+      |              count(*) OVER (PARTITION BY grp) AS n FROM ad),
+      |mad AS (SELECT grp, max(CASE WHEN rn = (n + 1) // 2 THEN dev END)::BIGINT AS mad FROM r2 GROUP BY grp)
+      |SELECT e.grp AS event_type, max(med.med)::BIGINT AS med_cents, max(mad.mad)::BIGINT AS mad_cents,
+      |  sum(CASE WHEN abs(e.cents - med.med) > 3 * mad.mad THEN 1 ELSE 0 END)::BIGINT AS n_anomalies,
+      |  count(*)::BIGINT AS n
+      |FROM e JOIN med ON med.grp = e.grp JOIN mad ON mad.grp = e.grp GROUP BY 1""".stripMargin
+
+  /** Replica oracle for q135 (CoreQueries.shippingPriority) — exact-integer
+    * discounted revenue: cents × (10^4 − discount_bp). */
+  val q135: String =
+    """WITH l AS (SELECT l_orderkey,
+      |    floor(l_extendedprice * 100.0 + 0.5)::BIGINT * (10000 - floor(l_discount * 10000.0 + 0.5)::BIGINT) AS rev
+      |  FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-06-15'),
+      |o AS (SELECT o_orderkey, o_orderdate FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |      WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '1998-06-15')
+      |SELECT l.l_orderkey, epoch_us(o.o_orderdate)::BIGINT AS odate_us, sum(l.rev)::BIGINT AS rev_e4c
+      |FROM l JOIN o ON o.o_orderkey = l.l_orderkey GROUP BY 1, 2""".stripMargin
+
+  /** Replica oracle for q136 (CoreQueries.localSupplierVolume). */
+  val q136: String =
+    """WITH l AS (SELECT l_orderkey, l_suppkey,
+      |    floor(l_extendedprice * 100.0 + 0.5)::BIGINT * (10000 - floor(l_discount * 10000.0 + 0.5)::BIGINT) AS rev
+      |  FROM lineitem)
+      |SELECT n.n_name, count(*)::BIGINT AS n_items, sum(l.rev)::BIGINT AS rev_e4c
+      |FROM l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |JOIN customer c ON c.c_custkey = o.o_custkey
+      |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |JOIN nation n ON n.n_nationkey = c.c_nationkey AND s.s_nationkey = c.c_nationkey
+      |GROUP BY 1""".stripMargin
+
+  /** Replica oracle for q137 (Analytics.firstTouchAttribution). */
+  val q137: String =
+    """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+      |l AS (SELECT *, lag(us) OVER w AS pus FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+      |s AS (SELECT *, sum(CASE WHEN pus IS NULL OR us - pus > 1800000000 THEN 1 ELSE 0 END)
+      |        OVER (PARTITION BY user_id ORDER BY us) AS sid FROM l),
+      |f AS (SELECT user_id, sid, event_type AS first_type,
+      |        row_number() OVER (PARTITION BY user_id, sid ORDER BY us) AS rn FROM s)
+      |SELECT ft.first_type, count(*)::BIGINT AS n_purchases
+      |FROM s JOIN (SELECT user_id, sid, first_type FROM f WHERE rn = 1) ft
+      |  ON ft.user_id = s.user_id AND ft.sid = s.sid
+      |WHERE s.event_type = 'purchase'
+      |GROUP BY 1""".stripMargin
+
   /** graft.text.Dedup.simhash64 over the `documents` table → CTE text
     * defining `sim(doc_id, sh)` (sh as UBIGINT; bit-identical to the Scala
     * signed long). */

@@ -295,6 +295,26 @@ object SparkEntry {
     // first-order Markov transition matrix, e6 row-normalized
     "q130_markov" -> ((s: SparkSession, d: String) =>
       graft.ops.Analytics.markovTransitions(s, d)),
+    // grid-density clustering (grid-DBSCAN): hot tiles + 4-adjacency
+    // components via the shared label-propagation engine
+    "q131_grid_clusters" -> ((s: SparkSession, d: String) =>
+      graft.spatial.BoxJoin.gridClusters(s, d)),
+    // term association (lift) in exact e6 integers
+    "q132_term_lift" -> ((s: SparkSession, d: String) =>
+      TextOps.termLift(s, d)),
+    // per-dimension min-max feature scaling with integer checksums
+    "q133_minmax_scale" -> ((s: SparkSession, d: String) =>
+      graft.ops.ArrayFns.minMaxScale(s, d)),
+    // robust MAD anomaly counts per group (exact integer order statistics)
+    "q134_mad_anomalies" -> ((s: SparkSession, d: String) =>
+      graft.ops.Analytics.madAnomalies(s, d)),
+    // TPC-H Q3 shape: broadcast dim, pushed date filters, one fact exchange
+    "q135_shipping_priority" -> (CoreQueries.shippingPriority _),
+    // TPC-H Q5 shape: local-supplier volume, all dims broadcast
+    "q136_local_volume" -> (CoreQueries.localSupplierVolume _),
+    // first-touch attribution over 30-min sessions, one user_id exchange
+    "q137_attribution" -> ((s: SparkSession, d: String) =>
+      graft.ops.Analytics.firstTouchAttribution(s, d)),
     // ANN over embeddings
     "q30_ann_brute" -> ((s: SparkSession, d: String) => Ann.bruteTopK(s, d)),
     // metadata-FILTERED vector search: top-k restricted to label = 3; the
@@ -1161,6 +1181,13 @@ object SparkEntry {
     "q128_grouped_trend" -> OracleSql.q128,
     "q129_prefix_filter_join" -> OracleSql.q129(6, 10),
     "q130_markov" -> OracleSql.q130,
+    "q131_grid_clusters" -> OracleSql.q131(15L),
+    "q132_term_lift" -> OracleSql.q132(25L),
+    "q133_minmax_scale" -> OracleSql.q133,
+    "q134_mad_anomalies" -> OracleSql.q134,
+    "q135_shipping_priority" -> OracleSql.q135,
+    "q136_local_volume" -> OracleSql.q136,
+    "q137_attribution" -> OracleSql.q137,
     // both outer null sides hashed row-for-row
     "q100_outer_join" ->
       """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey, c.c_name,

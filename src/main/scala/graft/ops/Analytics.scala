@@ -121,6 +121,69 @@ object Analytics {
         expr("(1000000 * n) div row_n").as("p_e6"))
   }
 
+  /** Gate query (q137): first-touch conversion attribution — every purchase
+    * is credited to the FIRST event type of its 30-minute-gap session (the
+    * q90 sessionization composed with a first-row window). All four stages
+    * (lag, running session id, first-row election, purchase join) key on
+    * user_id — one exchange end to end; the attribution join is per
+    * (user, session), never global. */
+  def firstTouchAttribution(spark: SparkSession, dir: String,
+                            gapUs: Long = 1800000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("us")
+    val s = table(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .withColumn("pus", lag(col("us"), 1).over(w))
+      .withColumn("sid", sum(
+        when(col("pus").isNull || col("us") - col("pus") > gapUs, 1L)
+          .otherwise(0L)).over(w))
+    val first = s
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id", "sid").orderBy("us")))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("sid"), col("event_type").as("first_type"))
+    s.where(col("event_type") === "purchase")
+      .join(first, Seq("user_id", "sid"))
+      .groupBy("first_type").agg(count(lit(1)).as("n_purchases"))
+  }
+
+  /** Gate query (q134): robust anomaly detection via median absolute
+    * deviation — per event type, the lower median of value cents, the MAD
+    * (lower median of |x − med|), and the count of points beyond 3·MAD.
+    * All integer order statistics with the deterministic (value, event_id)
+    * tie-break, so the thresholds replay exactly (σ-based z-scores would be
+    * FP and outlier-skewed — MAD is the robust standard). Two rank windows,
+    * both partitioned BY GROUP; the per-group medians broadcast back. */
+  def madAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = table(spark, dir, "events")
+      .select(col("event_type").as("grp"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"),
+        col("event_id"))
+    def lowerMedian(df: DataFrame, value: String, out: String): DataFrame = {
+      val w = Window.partitionBy("grp").orderBy(col(value), col("event_id"))
+      val n = Window.partitionBy("grp")
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(n))
+        .groupBy("grp")
+        .agg(max(when(col("rn") === expr("(n + 1) div 2"), col(value)))
+          .as(out))
+    }
+    val med = lowerMedian(e, "cents", "med_cents")
+    val dev = e.join(broadcast(med), "grp")
+      .withColumn("dev", abs(col("cents") - col("med_cents")))
+    val mad = lowerMedian(dev.select(col("grp"), col("dev"), col("event_id")),
+      "dev", "mad_cents")
+    e.join(broadcast(med), "grp").join(broadcast(mad), "grp")
+      .groupBy(col("grp").as("event_type"))
+      .agg(max(col("med_cents")).as("med_cents"),
+        max(col("mad_cents")).as("mad_cents"),
+        sum(when(abs(col("cents") - col("med_cents")) > col("mad_cents") * 3, 1L)
+          .otherwise(0L)).as("n_anomalies"),
+        count(lit(1)).as("n"))
+  }
+
   /** Gate query (q110): per-user exponential moving average (α = 0.3) over
     * the full event stream, folded in exact INTEGER e6-cents — ema' =
     * (3·v + 7·ema) div 10 — so the inherently sequential recurrence is

@@ -37,4 +37,27 @@ object ArrayFns {
           |reverse(cast(embedding as array<double>)), (x, y) -> x * y),
           |0d, (acc, x) -> acc + x)""".stripMargin)
         * lit(1000000.0) + lit(0.5)).cast("long").as("revdot_e6"))
+
+  /** Gate query (q133): per-DIMENSION min–max feature scaling of the
+    * embedding table — the normalization step a feature store runs before
+    * training. posexplode → per-dimension (min, max) (a DIM-sized relation,
+    * broadcast back) → every component rescaled to an e6 integer
+    * (floor((v−mn)/(mx−mn)·10^6 + 0.5); the division is one double op both
+    * engines compute identically), summed back per vector as an exact
+    * integer checksum. The stats pass and the scale pass are each one
+    * exchange; vectors never leave their partition unexploded. */
+  def minMaxScale(spark: SparkSession, dir: String): DataFrame = {
+    val v = table(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        posexplode(expr("cast(embedding as array<double>)")).as(Seq("d0", "v")))
+      .select(col("vec_id"), (col("d0") + 1).as("d"), col("v"))
+    val s = v.groupBy("d").agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    v.join(broadcast(s), "d")
+      .select(col("vec_id"),
+        when(col("mx") === col("mn"), 0L)
+          .otherwise(floor((col("v") - col("mn")) / (col("mx") - col("mn"))
+            * 1000000.0 + 0.5).cast("long")).as("e"))
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_dims"), sum(col("e")).as("sum_scaled_e6"))
+  }
 }

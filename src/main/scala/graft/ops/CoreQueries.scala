@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Session.table
@@ -226,4 +226,52 @@ object CoreQueries {
       .select(get_json_object(col("props"), "$.k").cast("int").as("k"), col("event_type"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
+
+  /** Exact-integer discounted revenue: cents × (10^4 − discount_bp) — the
+    * TPC-H `l_extendedprice·(1−l_discount)` aggregate with ZERO FP in the
+    * sum (FP revenue is the classic merge-order hash-divergence trap). */
+  private def revE4c: Column =
+    floor(col("l_extendedprice") * 100.0 + 0.5).cast("long") *
+      (lit(10000L) - floor(col("l_discount") * 10000.0 + 0.5).cast("long"))
+
+  /** Gate query (q135): the TPC-H Q3 shape (shipping priority) — segment-
+    * filtered customers ⋈ date-filtered orders ⋈ date-filtered lineitems,
+    * revenue per order. The customer side broadcasts (dimension-sized after
+    * the segment filter); both date predicates push to the parquet scans;
+    * the only real exchange is the lineitem⋈orders hash join on orderkey. */
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val l = table(spark, dir, "lineitem")
+      .where(col("l_shipdate") > lit("1998-06-15").cast("timestamp"))
+      .select(col("l_orderkey"), revE4c.as("rev"))
+    val o = table(spark, dir, "orders")
+      .where(col("o_orderdate") < lit("1998-06-15").cast("timestamp"))
+      .join(broadcast(table(spark, dir, "customer")
+        .where(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_orderdate"))
+    l.join(o, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("odate_us"))
+      .agg(sum(col("rev")).as("rev_e4c"))
+  }
+
+  /** Gate query (q136): the TPC-H Q5 shape (local-supplier volume) —
+    * revenue by nation counted only where the customer's and supplier's
+    * nations coincide. Customer/supplier/nation dimensions broadcast; the
+    * fact chain shuffles once per fact join key. */
+  def localSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val l = table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), revE4c.as("rev"))
+    val o = table(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val c = table(spark, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val s = table(spark, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val n = table(spark, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    l.join(o, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(c), col("c_custkey") === col("o_custkey"))
+      .join(broadcast(s), col("s_suppkey") === col("l_suppkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(n), col("n_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_items"), sum(col("rev")).as("rev_e4c"))
+  }
 }

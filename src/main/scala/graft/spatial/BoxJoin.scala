@@ -118,4 +118,52 @@ object BoxJoin {
       .select(col("x6").as("x"), col("y6").as("y"), lit(6L).as("z"), col("n"))
     coarse.unionByName(fine)
   }
+
+  /** Gate query (q131): grid-density clustering (the GBSCAN / grid-DBSCAN
+    * shape): tiles with ≥ minPts points are "dense"; dense tiles merge into
+    * clusters by 4-adjacency, resolved with the SAME hash-min label
+    * propagation engine the dedup pair graph uses
+    * ([[graft.text.Dedup.componentLabels]] — one definition, both domains).
+    * Density estimation is one point exchange; everything after runs on
+    * TILES (hot-tile adjacency via two equi-joins on shifted coordinates,
+    * never a distance join), which is what makes density clustering
+    * tractable at 10^12 points — the classic grid approximation of DBSCAN
+    * with the ε-neighborhood quantized to the tile graph. Isolated dense
+    * tiles are their own clusters. Oracle: recursive-CTE closure over the
+    * same adjacency (the q63 different-algorithm-family discipline). */
+  def gridClusters(spark: SparkSession, dir: String, minPts: Long = 15L): DataFrame = {
+    val hot = SpatialQueries.eventPoints(spark, dir).select(
+        least(floor((col("lon") + 180.0) / 360.0 * 64.0), lit(63.0))
+          .cast("long").as("x"),
+        least(floor((col("lat") + 90.0) / 180.0 * 64.0), lit(63.0))
+          .cast("long").as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("n"))
+      .where(col("n") >= minPts)
+      .withColumn("tid", col("x") * 64 + col("y"))
+      .localCheckpoint() // consumed by 2 adjacency joins + the final rollup
+    val right = hot.select(col("x").as("rx"), col("y").as("ry"),
+      col("tid").as("rtid"))
+    // two EQUI-joins (right/up neighbor), not one OR-join — the OR form
+    // degrades to a nested-loop; these stay hash joins on shifted keys
+    val pairsR = hot.join(right,
+      col("rx") === col("x") + 1 && col("ry") === col("y"))
+    val pairsU = hot.join(right,
+      col("rx") === col("x") && col("ry") === col("y") + 1)
+    val pairs = pairsR.unionByName(pairsU)
+      .select(least(col("tid"), col("rtid")).as("a"),
+        greatest(col("tid"), col("rtid")).as("b"))
+    val labels = graft.text.Dedup.componentLabels(pairs)
+      .withColumnRenamed("doc_id", "tid")
+    val singles = hot.select("tid")
+      .join(labels.select("tid"), Seq("tid"), "left_anti")
+      .withColumn("label", col("tid"))
+    val out = labels.unionByName(singles)
+      .join(hot.select("tid", "n"), "tid")
+      .groupBy(col("label").as("cluster"))
+      .agg(count(lit(1)).as("n_tiles"), sum(col("n")).as("n_points"))
+      .localCheckpoint()
+    graft.CacheOps.freeLocalCheckpoint(labels)
+    graft.CacheOps.freeLocalCheckpoint(hot)
+    out
+  }
 }

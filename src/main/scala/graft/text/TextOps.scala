@@ -328,6 +328,31 @@ object TextOps {
       .where(col("n_terms") === terms.length)
   }
 
+  /** Gate query (q132): term-association (lift) over document co-occurrence
+    * — lift(a,b) = N·c(a,b) / (c(a)·c(b)) in exact e6 integers (the
+    * integer-rational stand-in for PMI: same ranking, merge-order-free).
+    * The pair generation is a self-join on doc_id over DISTINCT (doc, term)
+    * rows — bounded by per-doc vocabulary, not corpus size — and the
+    * unigram counts broadcast. cab-floor keeps the output to the
+    * statistically meaningful pairs. */
+  def termLift(spark: SparkSession, dir: String, minCab: Long = 25L): DataFrame = {
+    val t = table(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .distinct()
+    val cw = t.groupBy("w").agg(count(lit(1)).as("c"))
+    val nd = t.select("doc_id").distinct().count()
+    val pair = t.as("a").join(t.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.w") < col("b.w"))
+      .groupBy(col("a.w").as("wa"), col("b.w").as("wb"))
+      .agg(count(lit(1)).as("cab"))
+      .where(col("cab") >= minCab)
+    pair
+      .join(broadcast(cw.select(col("w").as("wa"), col("c").as("ca"))), "wa")
+      .join(broadcast(cw.select(col("w").as("wb"), col("c").as("cb"))), "wb")
+      .select(col("wa"), col("wb"), col("cab"),
+        expr(s"(1000000 * $nd * cab) div (ca * cb)").as("lift_e6"))
+  }
+
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val PhoneRe = "555-[0-9]{4}"
 
