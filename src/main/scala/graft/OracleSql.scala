@@ -1506,6 +1506,53 @@ object OracleSql {
       |WHERE s.event_type = 'purchase'
       |GROUP BY 1""".stripMargin
 
+  /** Replica oracle for q138 (OrderStats.decileClassMix) — the same decile
+    * rank via a window row_number (a different ranking mechanism from the
+    * engine's range-partition + zipWithIndex, so agreement pins the
+    * distributed global ranking). */
+  val q138: String =
+    """WITH o AS (SELECT floor(o_totalprice * 100.0 + 0.5)::BIGINT AS cents, o_orderstatus, o_orderkey FROM orders),
+      |r AS (SELECT *, row_number() OVER (ORDER BY cents, o_orderkey) AS rn, count(*) OVER () AS n FROM o),
+      |b AS (SELECT o_orderstatus, least(((rn - 1) * 10) // n, 9)::BIGINT AS decile FROM r)
+      |SELECT decile, o_orderstatus, count(*)::BIGINT AS n FROM b GROUP BY 1, 2""".stripMargin
+
+  /** Replica oracle for q139 (Analytics.sequencePatterns). */
+  val q139: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS us,
+      |    CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p'
+      |         WHEN 'signup' THEN 's' ELSE 'e' END AS ch FROM events),
+      |s AS (SELECT user_id, string_agg(ch, '' ORDER BY us) AS seq FROM e GROUP BY 1)
+      |SELECT user_id, length(seq)::BIGINT AS n_events,
+      |  len(regexp_extract_all(seq, 'vcp'))::BIGINT AS n_vcp,
+      |  len(regexp_extract_all(seq, 'v[ce]*p'))::BIGINT AS n_lazy
+      |FROM s""".stripMargin
+
+  /** Replica oracle for q140 (Sketches.bitmapIntersect) — same packed-word
+    * bitmaps in the UBIGINT domain (bit-identical to the engine's longs). */
+  val q140: String =
+    """WITH e AS (SELECT * FROM events WHERE event_id % 13 = 0),
+      |b AS (SELECT event_type, user_id // 64 AS wi, bit_or(1::UBIGINT << (user_id % 64)::INT) AS w
+      |      FROM e GROUP BY 1, 2),
+      |pairs AS (SELECT a.event_type AS ta, b2.event_type AS tb, a.wi, bit_count(a.w & b2.w)::BIGINT AS c
+      |          FROM b a JOIN b b2 ON a.wi = b2.wi AND a.event_type < b2.event_type)
+      |SELECT ta, tb, sum(c)::BIGINT AS n_both FROM pairs GROUP BY 1, 2""".stripMargin
+
+  /** Replica oracle for q141 (OrderStats.rfmScores) — quintile scores via
+    * window row_numbers (vs the engine's distributed ranking). */
+  val q141: String =
+    """WITH p AS (SELECT user_id, max(epoch_us(ts)) AS last_us, count(*)::BIGINT AS freq,
+      |                  sum(floor(value * 100.0 + 0.5)::BIGINT) AS cents
+      |           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |r AS (SELECT *, row_number() OVER (ORDER BY last_us, user_id) AS rr,
+      |              row_number() OVER (ORDER BY freq, user_id) AS rf,
+      |              row_number() OVER (ORDER BY cents, user_id) AS rm,
+      |              count(*) OVER () AS n FROM p)
+      |SELECT user_id, (least(((rr - 1) * 5) // n, 4) + 1)::BIGINT AS r_score,
+      |       (least(((rf - 1) * 5) // n, 4) + 1)::BIGINT AS f_score,
+      |       (least(((rm - 1) * 5) // n, 4) + 1)::BIGINT AS m_score,
+      |       freq, cents
+      |FROM r""".stripMargin
+
   /** graft.text.Dedup.simhash64 over the `documents` table → CTE text
     * defining `sim(doc_id, sh)` (sh as UBIGINT; bit-identical to the Scala
     * signed long). */

@@ -315,6 +315,19 @@ object SparkEntry {
     // first-touch attribution over 30-min sessions, one user_id exchange
     "q137_attribution" -> ((s: SparkSession, d: String) =>
       graft.ops.Analytics.firstTouchAttribution(s, d)),
+    // equi-depth decile binning x class mix via DISTRIBUTED global ranking
+    // (range partition + zipWithIndex, never a single-task window)
+    "q138_decile_class_mix" -> ((s: SparkSession, d: String) =>
+      graft.ops.OrderStats.decileClassMix(s, d)),
+    // per-user sequence-pattern counts (MATCH_RECOGNIZE shape, one fold)
+    "q139_seq_patterns" -> ((s: SparkSession, d: String) =>
+      graft.ops.Analytics.sequencePatterns(s, d)),
+    // bitmap-index intersection cardinalities (packed 64-bit words)
+    "q140_bitmap_intersect" -> ((s: SparkSession, d: String) =>
+      graft.ops.Sketches.bitmapIntersect(s, d)),
+    // RFM quintile segmentation via three distributed rankings
+    "q141_rfm" -> ((s: SparkSession, d: String) =>
+      graft.ops.OrderStats.rfmScores(s, d)),
     // ANN over embeddings
     "q30_ann_brute" -> ((s: SparkSession, d: String) => Ann.bruteTopK(s, d)),
     // metadata-FILTERED vector search: top-k restricted to label = 3; the
@@ -1188,6 +1201,10 @@ object SparkEntry {
     "q135_shipping_priority" -> OracleSql.q135,
     "q136_local_volume" -> OracleSql.q136,
     "q137_attribution" -> OracleSql.q137,
+    "q138_decile_class_mix" -> OracleSql.q138,
+    "q139_seq_patterns" -> OracleSql.q139,
+    "q140_bitmap_intersect" -> OracleSql.q140,
+    "q141_rfm" -> OracleSql.q141,
     // both outer null sides hashed row-for-row
     "q100_outer_join" ->
       """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey, c.c_name,

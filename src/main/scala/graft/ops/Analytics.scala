@@ -148,6 +148,31 @@ object Analytics {
       .groupBy("first_type").agg(count(lit(1)).as("n_purchases"))
   }
 
+  /** Gate query (q139): sequential-pattern counting (the MATCH_RECOGNIZE
+    * shape): each user's event-type sequence folds into one in-row string
+    * (timestamp-ordered initials), then contiguous `vcp` runs and lazy
+    * `v[ce]*p` chains count via regexp — per-user sequence mining with ONE
+    * exchange and no self-joins (a k-step pattern as k-way join explodes
+    * combinatorially; the fold is linear). Patterns chosen to mean the same
+    * thing in java.util.regex and RE2. */
+  def sequencePatterns(spark: SparkSession, dir: String): DataFrame = {
+    val ch = when(col("event_type") === "view", "v")
+      .when(col("event_type") === "click", "c")
+      .when(col("event_type") === "purchase", "p")
+      .when(col("event_type") === "signup", "s").otherwise("e")
+    table(spark, dir, "events")
+      .select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"), ch.as("ch"))
+      .groupBy("user_id")
+      .agg(array_join(expr(
+        "transform(sort_array(collect_list(struct(us, ch))), x -> x.ch)"), "")
+        .as("seq"))
+      .select(col("user_id"),
+        length(col("seq")).cast("long").as("n_events"),
+        regexp_count(col("seq"), lit("vcp")).cast("long").as("n_vcp"),
+        regexp_count(col("seq"), lit("v[ce]*p")).cast("long").as("n_lazy"))
+  }
+
   /** Gate query (q134): robust anomaly detection via median absolute
     * deviation — per event type, the lower median of value cents, the MAD
     * (lower median of |x − med|), and the count of points beyond 3·MAD.

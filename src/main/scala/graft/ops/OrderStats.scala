@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -36,6 +36,70 @@ object OrderStats {
         max(when(col("rn") === expr("(9 * n + 9) div 10"), col("cents")))
           .as("p90_cents"),
         max(col("n")).as("n"))
+  }
+
+  /** DISTRIBUTED global row numbering — the primitive behind exact deciles,
+    * RFM scores, and any "rank over everything" need. A partition-less
+    * `Window.orderBy` plans every row into ONE task; this instead
+    * range-partitions on the sort key, sorts within partitions, and takes
+    * the global index from `zipWithIndex` (which runs one lightweight
+    * count-per-partition job and prefix-offsets the iterators — the
+    * two-pass trick, built in). Deterministic iff `sortCols` is a total
+    * order. Appends `rn` (1-based). */
+  def distributedRowNumber(df: DataFrame, parts: Int,
+                           sortCols: Column*): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField("rn",
+          org.apache.spark.sql.types.LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex.map { case (row, i) =>
+      Row.fromSeq(row.toSeq :+ (i + 1L))
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Gate query (q138): equi-depth decile binning of order prices × order
+    * status — the feature-binning/class-odds table a training pipeline
+    * derives before encoding categorical features. The global rank comes
+    * from [[distributedRowNumber]] (never a single-task window); the
+    * DuckDB oracle computes the SAME rank via a window row_number — a
+    * different mechanism, so agreement pins the distributed ranking. */
+  def decileClassMix(spark: SparkSession, dir: String, parts: Int = 8): DataFrame = {
+    val o = table(spark, dir, "orders")
+      .select(floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"),
+        col("o_orderstatus"), col("o_orderkey"))
+    val n = o.count()
+    distributedRowNumber(o, parts, col("cents"), col("o_orderkey"))
+      .select(col("o_orderstatus"),
+        least(expr(s"((rn - 1) * 10) div $n"), lit(9L)).as("decile"))
+      .groupBy("decile", "o_orderstatus").agg(count(lit(1)).as("n"))
+  }
+
+  /** Gate query (q141): RFM segmentation — per purchasing user, recency /
+    * frequency / monetary quintile scores (1–5), each from an exact global
+    * rank via [[distributedRowNumber]] with (value, user_id) total orders.
+    * Three small rankings over the USER-level rollup (users ≪ events), all
+    * deterministic integers. */
+  def rfmScores(spark: SparkSession, dir: String, parts: Int = 4): DataFrame = {
+    val p = table(spark, dir, "events")
+      .where(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(max(unix_micros(col("ts").cast("timestamp"))).as("last_us"),
+        count(lit(1)).as("freq"),
+        sum(floor(col("value") * 100.0 + 0.5).cast("long")).as("cents"))
+    val n = p.count()
+    def score(df: DataFrame, by: Column, out: String): DataFrame =
+      distributedRowNumber(df, parts, by, col("user_id"))
+        .withColumn(out, least(expr(s"((rn - 1) * 5) div $n"), lit(4L)) + 1L)
+        .drop("rn")
+    val r = score(p, col("last_us"), "r_score")
+    val f = score(r, col("freq"), "f_score")
+    score(f, col("cents"), "m_score")
+      .select(col("user_id"), col("r_score"), col("f_score"), col("m_score"),
+        col("freq"), col("cents"))
   }
 
   /** Gate query (q115): the 2-D skyline (minimize price, maximize size) of
