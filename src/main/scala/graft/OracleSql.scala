@@ -1409,12 +1409,13 @@ object OracleSql {
   /** Replica oracle for q131 (BoxJoin.gridClusters) — same hot tiles and
     * adjacency, components via recursive-CTE closure (a different algorithm
     * family from the engine's label propagation — the q63 discipline). */
-  def q131(minPts: Long): String =
+  def q131(minPtsBp: Long): String =
     s"""WITH RECURSIVE p AS (SELECT fmod(value, 360.0) - 180.0 AS lon, (user_id % 181 - 90)::DOUBLE AS lat FROM events),
+       |mp AS (SELECT greatest(1, (count(*) * $minPtsBp) // 10000) AS v FROM events),
        |g AS (SELECT least(floor((lon+180)/360.0*64), 63)::BIGINT AS x,
        |             least(floor((lat+90)/180.0*64), 63)::BIGINT AS y FROM p),
        |c AS (SELECT x, y, count(*)::BIGINT AS n FROM g GROUP BY 1, 2),
-       |hot AS (SELECT x, y, x * 64 + y AS tid, n FROM c WHERE n >= $minPts),
+       |hot AS (SELECT x, y, x * 64 + y AS tid, n FROM c WHERE n >= (SELECT v FROM mp)),
        |e0 AS (SELECT h1.tid AS a, h2.tid AS b FROM hot h1 JOIN hot h2
        |       ON (h2.x = h1.x + 1 AND h2.y = h1.y) OR (h2.x = h1.x AND h2.y = h1.y + 1)),
        |e AS (SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b, a FROM e0),
@@ -1552,6 +1553,41 @@ object OracleSql {
       |       (least(((rm - 1) * 5) // n, 4) + 1)::BIGINT AS m_score,
       |       freq, cents
       |FROM r""".stripMargin
+
+  /** Replica oracle for q142 (Graph.treeDepths) — the synthetic parent
+    * function replayed, depths via a SEQUENTIAL recursive-CTE chase (the
+    * engine uses O(log D) pointer jumping — different algorithm family). */
+  def q142(n: Int): String =
+    s"""WITH RECURSIVE t AS (SELECT i AS node,
+       |  CASE WHEN i = 0 THEN 0 ELSE ((${mix("(61453 + i)::UBIGINT")} & 9223372036854775807::UBIGINT) % i)::BIGINT END AS parent
+       |  FROM range(0, $n) r(i)),
+       |walk(node, anc, d) AS (
+       |  SELECT node, parent, CASE WHEN node = 0 THEN 0 ELSE 1 END FROM t
+       |  UNION ALL
+       |  SELECT w.node, t.parent, w.d + 1 FROM walk w JOIN t ON t.node = w.anc WHERE w.anc <> 0
+       |)
+       |SELECT node, max(d)::BIGINT AS depth FROM walk GROUP BY 1""".stripMargin
+
+  /** Replica oracle for q143 (Sessionize.intervalCoalesce). */
+  val q143: String =
+    """WITH iv AS (SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 600000000 AS e FROM events),
+      |w AS (SELECT *, max(e) OVER (PARTITION BY user_id ORDER BY s, e
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM iv),
+      |f AS (SELECT user_id, s, e, CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS brk FROM w),
+      |g AS (SELECT user_id, s, e, sum(brk) OVER (PARTITION BY user_id ORDER BY s, e) AS isl FROM f)
+      |SELECT user_id, count(*)::BIGINT AS n_islands, sum(cov)::BIGINT AS covered_us
+      |FROM (SELECT user_id, isl, max(e) - min(s) AS cov FROM g GROUP BY 1, 2)
+      |GROUP BY 1""".stripMargin
+
+  /** Replica oracle for q144 (Analytics.rollingDistinct) — the direct
+    * range-join formulation (vs the engine's presence replication). */
+  val q144: String =
+    """WITH pres AS (SELECT DISTINCT user_id, date_diff('day', DATE '2024-01-01', ts::DATE)::BIGINT AS day
+      |              FROM events WHERE event_id % 29 = 0),
+      |days AS (SELECT DISTINCT day FROM pres)
+      |SELECT d.day, count(DISTINCT p.user_id)::BIGINT AS n_users_7d
+      |FROM days d JOIN pres p ON p.day BETWEEN d.day - 6 AND d.day
+      |GROUP BY 1""".stripMargin
 
   /** graft.text.Dedup.simhash64 over the `documents` table → CTE text
     * defining `sim(doc_id, sh)` (sh as UBIGINT; bit-identical to the Scala

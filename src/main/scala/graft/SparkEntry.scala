@@ -328,6 +328,17 @@ object SparkEntry {
     // RFM quintile segmentation via three distributed rankings
     "q141_rfm" -> ((s: SparkSession, d: String) =>
       graft.ops.OrderStats.rfmScores(s, d)),
+    // tree depths via pointer jumping: O(log depth) self-join rounds vs
+    // the oracle's sequential recursive chase
+    "q142_tree_depths" -> ((s: SparkSession, _: String) =>
+      graft.ops.Graph.treeDepths(s)),
+    // interval coalescing (merge-overlaps, containment-safe running max)
+    "q143_interval_merge" -> ((s: SparkSession, d: String) =>
+      graft.ops.Sessionize.intervalCoalesce(s, d)),
+    // rolling 7-day distinct users via presence replication (distinct is
+    // not algebraic; replicate before the shuffle, never rescan per day)
+    "q144_rolling_distinct" -> ((s: SparkSession, d: String) =>
+      graft.ops.Analytics.rollingDistinct(s, d)),
     // ANN over embeddings
     "q30_ann_brute" -> ((s: SparkSession, d: String) => Ann.bruteTopK(s, d)),
     // metadata-FILTERED vector search: top-k restricted to label = 3; the
@@ -1205,6 +1216,9 @@ object SparkEntry {
     "q139_seq_patterns" -> OracleSql.q139,
     "q140_bitmap_intersect" -> OracleSql.q140,
     "q141_rfm" -> OracleSql.q141,
+    "q142_tree_depths" -> OracleSql.q142(2000),
+    "q143_interval_merge" -> OracleSql.q143,
+    "q144_rolling_distinct" -> OracleSql.q144,
     // both outer null sides hashed row-for-row
     "q100_outer_join" ->
       """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey, c.c_name,

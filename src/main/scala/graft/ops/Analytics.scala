@@ -148,6 +148,30 @@ object Analytics {
       .groupBy("first_type").agg(count(lit(1)).as("n_purchases"))
   }
 
+  /** Gate query (q144): rolling 7-day DISTINCT active users — distinct
+    * counts are not algebraic, so sliding windows can't reuse partial sums;
+    * the scalable trick is presence-row replication: each (user, day)
+    * presence row contributes to the 7 target days it covers BEFORE the
+    * shuffle, then one countDistinct per day. Exchange volume is
+    * presence × window, never events × window, and there is no per-day
+    * rescan. Activity is a sparse deterministic sample (the full fixture
+    * saturates at every-user-every-day). */
+  def rollingDistinct(spark: SparkSession, dir: String,
+                      windowDays: Int = 7): DataFrame = {
+    val pres = table(spark, dir, "events")
+      .where(col("event_id") % 29 === 0)
+      .select(col("user_id"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+          .cast("long").as("day"))
+      .distinct()
+    val days = pres.select("day").distinct()
+    pres.withColumn("target",
+        explode(sequence(col("day"), col("day") + (windowDays - 1))))
+      .join(days.withColumnRenamed("day", "target"), Seq("target"))
+      .groupBy(col("target").as("day"))
+      .agg(countDistinct(col("user_id")).as("n_users_7d"))
+  }
+
   /** Gate query (q139): sequential-pattern counting (the MATCH_RECOGNIZE
     * shape): each user's event-type sequence folds into one in-row string
     * (timestamp-ordered initials), then contiguous `vcp` runs and lazy

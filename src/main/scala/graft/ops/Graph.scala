@@ -101,6 +101,45 @@ object Graph {
     ranks
   }
 
+  /** Gate query (q142): tree depths via POINTER JUMPING (path doubling) —
+    * the O(log depth) parallel-hierarchy primitive (org charts, BOMs,
+    * thread trees). State (node, anc, d) starts at the parent edge; each
+    * round every node jumps to its ancestor's ancestor, adding the
+    * ancestor's distance: anc' = anc.anc, d' = d + anc.d. The root's row is
+    * (0, 0) so jumps through the root are natural fixed points — no special
+    * case. A depth-D tree converges in ceil(log2 D) rounds (the fixture's
+    * depth-15 tree: 4), each ONE self-join shuffle on the jump key —
+    * against the sequential chase's D dependent lookups. Per-round
+    * localCheckpoint + eager free; the materializing count doubles as the
+    * convergence signal; non-convergence refuses loudly. Oracle: recursive
+    * CTE walk (sequential chase — different algorithm family). */
+  def treeDepths(spark: SparkSession, n: Int = 2000,
+                 maxRounds: Int = 64): DataFrame = {
+    val t = spark.range(0, n.toLong).select(col("id").as("node"),
+      when(col("id") === 0, 0L)
+        .otherwise(SeedExprs.mix64(col("id") + 61453L)
+          .bitwiseAND(lit(Long.MaxValue)) % col("id")).as("parent"))
+    var state = t.select(col("node"), col("parent").as("anc"),
+      when(col("node") === 0, 0L).otherwise(1L).as("d")).localCheckpoint()
+    var pending = state.where(col("anc") =!= 0).count()
+    var rounds = 0
+    while (pending > 0 && rounds < maxRounds) {
+      val lookup = state.select(col("node").as("lnode"), col("anc").as("lanc"),
+        col("d").as("ld"))
+      val next = state.join(lookup, col("anc") === col("lnode"))
+        .select(col("node"), col("lanc").as("anc"),
+          (col("d") + col("ld")).as("d"))
+        .localCheckpoint()
+      pending = next.where(col("anc") =!= 0).count()
+      graft.CacheOps.freeLocalCheckpoint(state)
+      state = next
+      rounds += 1
+    }
+    require(pending == 0,
+      s"treeDepths did not converge within $maxRounds rounds")
+    state.select(col("node"), col("d").as("depth"))
+  }
+
   /** Gate query (q125): the k-core of the synth graph — iterative peeling
     * (drop nodes with degree < k, re-derive degrees, repeat to fixpoint),
     * the standard dense-subgraph primitive for community/spam detection

@@ -44,6 +44,32 @@ object Sessionize {
           .as("value_cents"))
   }
 
+  /** Gate query (q143): interval coalescing (merge-overlaps) — each event
+    * opens a 10-minute interval; per user, overlapping/touching intervals
+    * merge into islands (a new island starts where `start` exceeds the
+    * running max of previous ends — the gaps-and-islands idiom that handles
+    * CONTAINED intervals, which a lag-on-end comparison gets wrong). Emits
+    * islands count and exact covered span per user. Same one-exchange shape
+    * as [[sessions]]. */
+  def intervalCoalesce(spark: SparkSession, dir: String,
+                       durUs: Long = 600000000L): DataFrame = {
+    val iv = table(spark, dir, "events")
+      .select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("s"))
+      .withColumn("e", col("s") + durUs)
+    val order = Window.partitionBy("user_id").orderBy(col("s"), col("e"))
+    val stepped = iv
+      .withColumn("pmax", max(col("e")).over(
+        order.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("pmax").isNull || col("s") > col("pmax"), 1L).otherwise(0L))
+      .withColumn("isl", sum(col("brk")).over(order))
+    stepped.groupBy("user_id", "isl")
+      .agg((max(col("e")) - min(col("s"))).as("cov"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_islands"), sum(col("cov")).as("covered_us"))
+  }
+
   /** Gate query (q118): SPATIAL sessionization (trajectory segmentation /
     * stay-point detection) — per user, a new segment starts at the first
     * point and at every point farther than `radiusKm` (haversine) from its

@@ -3,6 +3,7 @@ package graft.spatial
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.Session.table
 import graft.functions.SeedExprs
 
 /** Rectangle–rectangle overlap join (changeset-bbox × AOI-bbox shape,
@@ -131,7 +132,14 @@ object BoxJoin {
     * with the ε-neighborhood quantized to the tile graph. Isolated dense
     * tiles are their own clusters. Oracle: recursive-CTE closure over the
     * same adjacency (the q63 different-algorithm-family discipline). */
-  def gridClusters(spark: SparkSession, dir: String, minPts: Long = 15L): DataFrame = {
+  def gridClusters(spark: SparkSession, dir: String,
+                   minPtsBp: Long = 15L): DataFrame = {
+    // density threshold RELATIVE to the corpus (minPtsBp per 10^4 points):
+    // a fixed absolute cap stops meaning "dense" the moment the table grows
+    // — at 10x the rows, near-every tile crossed the old bar and the hot
+    // graph became a >64-diameter snake (caught by the sf0.1 gate, round 5)
+    val total = table(spark, dir, "events").count()
+    val minPts = math.max(1L, minPtsBp * total / 10000L)
     val hot = SpatialQueries.eventPoints(spark, dir).select(
         least(floor((col("lon") + 180.0) / 360.0 * 64.0), lit(63.0))
           .cast("long").as("x"),

@@ -346,11 +346,14 @@ object TextOps {
       .groupBy(col("a.w").as("wa"), col("b.w").as("wb"))
       .agg(count(lit(1)).as("cab"))
       .where(col("cab") >= minCab)
+    // fold 10^6·N into ONE long literal: `1000000 * nd` as separate SQL int
+    // literals overflows 32-bit under ANSI at nd ≥ 2148 (bit at sf0.1)
+    val scale = 1000000L * nd
     pair
       .join(broadcast(cw.select(col("w").as("wa"), col("c").as("ca"))), "wa")
       .join(broadcast(cw.select(col("w").as("wb"), col("c").as("cb"))), "wb")
       .select(col("wa"), col("wb"), col("cab"),
-        expr(s"(1000000 * $nd * cab) div (ca * cb)").as("lift_e6"))
+        expr(s"(${scale}L * cab) div (ca * cb)").as("lift_e6"))
   }
 
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -11,8 +11,12 @@ class Wave17Spec extends AnyFunSuite {
   val dir = "/root/testdata/sf0.001"
 
   test("grid clusters match a plain-Scala flood fill over the same hot tiles") {
-    val minPts = 3L // sf0.001 is 10x sparser than the gate fixture
-    val got = BoxJoin.gridClusters(spark, dir, minPts).collect()
+    // density-relative threshold (bp of total points): 30 bp of sf0.001's
+    // 1000 events = 3 absolute — replicate the same derivation below
+    val minPtsBp = 30L
+    val total = graft.Session.table(spark, dir, "events").count()
+    val minPts = math.max(1L, minPtsBp * total / 10000L)
+    val got = BoxJoin.gridClusters(spark, dir, minPtsBp).collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
     // replicate: tile counts -> hot set -> flood fill
     val pts = graft.spatial.SpatialQueries.eventPoints(spark, dir)
