@@ -1589,6 +1589,54 @@ object OracleSql {
       |FROM days d JOIN pres p ON p.day BETWEEN d.day - 6 AND d.day
       |GROUP BY 1""".stripMargin
 
+  /** Replica oracle for q145 (Analytics.stratifiedSample). */
+  def q145(k: Int): String =
+    s"""WITH e AS (SELECT event_id, event_type, (${mix("event_id::UBIGINT")} & 9223372036854775807::UBIGINT) AS h FROM events),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY h, event_id) AS rn FROM e)
+       |SELECT event_type, event_id, rn::BIGINT AS rn FROM r WHERE rn <= $k""".stripMargin
+
+  /** Replica oracle for q146 (Analytics.shareOfTotal). */
+  val q146: String =
+    """WITH d AS (SELECT event_type, date_diff('day', DATE '2024-01-01', ts::DATE)::BIGINT AS day,
+      |                  floor(value * 100.0 + 0.5)::BIGINT AS cents FROM events),
+      |g AS (SELECT event_type, day, sum(cents)::BIGINT AS c FROM d GROUP BY 1, 2)
+      |SELECT event_type, day, c,
+      |  (1000000 * c) // sum(c) OVER (PARTITION BY event_type) AS share_e6,
+      |  (1000000 * sum(c) OVER (PARTITION BY event_type ORDER BY day)) // sum(c) OVER (PARTITION BY event_type) AS cum_share_e6
+      |FROM g""".stripMargin
+
+  /** Replica oracle for q147 (Lakehouse.temporalJoin) — the same CDC/SCD2
+    * fixture plus splitmix probes, matched by the validity predicate. */
+  def q147(nDelta: Int, nProbes: Int, keyspace: Int): String =
+    s"""WITH delta AS (SELECT seq,
+       |    ((${mix("(5000000+seq)::UBIGINT")} & 2147483647) % $keyspace)::BIGINT AS key,
+       |    ((${mix("(6000000+seq)::UBIGINT")} & 2147483647) % 3)::BIGINT AS op,
+       |    (${mix("(7000000+seq)::UBIGINT")} & 65535)::BIGINT AS val
+       |  FROM range(0, $nDelta) t(seq)),
+       |scd AS (SELECT key, seq AS vf, val, lead(seq) OVER (PARTITION BY key ORDER BY seq) AS vt
+       |        FROM delta QUALIFY op <> 2),
+       |probes AS (SELECT i AS pid,
+       |    ((${mix("(8000000+i)::UBIGINT")} & 2147483647) % $keyspace)::BIGINT AS key,
+       |    ((${mix("(9000000+i)::UBIGINT")} & 2147483647) % 450)::BIGINT AS t
+       |  FROM range(0, $nProbes) r(i))
+       |SELECT p.pid, p.key, p.t, s.val, s.vf
+       |FROM probes p JOIN scd s ON s.key = p.key AND p.t >= s.vf AND (s.vt IS NULL OR p.t < s.vt)"""
+      .stripMargin
+
+  /** Replica oracle for q148 (OrderStats.skewProfile) — ranks via a window
+    * (vs the engine's distributed ranking). */
+  val q148: String =
+    """WITH k AS (SELECT l_partkey AS key, count(*)::BIGINT AS n FROM lineitem GROUP BY 1),
+      |r AS (SELECT *, row_number() OVER (ORDER BY n DESC, key) AS rk,
+      |             count(*) OVER () AS nk, sum(n) OVER () AS total FROM k),
+      |r2 AS (SELECT *, CASE WHEN rk <= nk // 100 + 1 THEN n ELSE 0 END AS np1 FROM r)
+      |SELECT max(nk)::BIGINT AS n_keys, max(total)::BIGINT AS total_rows,
+      |  max(CASE WHEN rk = 1 THEN n END)::BIGINT AS top1_n,
+      |  sum(CASE WHEN rk <= 10 THEN n ELSE 0 END)::BIGINT AS top10_n,
+      |  sum(np1)::BIGINT AS top1pct_n,
+      |  ((1000000 * max(CASE WHEN rk = 1 THEN n END)) // max(total))::BIGINT AS top1_share_e6
+      |FROM r2""".stripMargin
+
   /** graft.text.Dedup.simhash64 over the `documents` table → CTE text
     * defining `sim(doc_id, sh)` (sh as UBIGINT; bit-identical to the Scala
     * signed long). */

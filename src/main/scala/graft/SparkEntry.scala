@@ -339,6 +339,18 @@ object SparkEntry {
     // not algebraic; replicate before the shuffle, never rescan per day)
     "q144_rolling_distinct" -> ((s: SparkSession, d: String) =>
       graft.ops.Analytics.rollingDistinct(s, d)),
+    // deterministic stratified k-sample (hash-coin reproducible)
+    "q145_stratified_sample" -> ((s: SparkSession, d: String) =>
+      graft.ops.Analytics.stratifiedSample(s, d)),
+    // share-of-total + cumulative Lorenz share over the rollup relation
+    "q146_share_of_total" -> ((s: SparkSession, d: String) =>
+      graft.ops.Analytics.shareOfTotal(s, d)),
+    // temporal validity join: probes matched to the SCD2 version at time t
+    "q147_temporal_join" -> ((s: SparkSession, _: String) =>
+      graft.ops.Lakehouse.temporalJoin(s)),
+    // key-skew profiler (top-k mass / Lorenz stats) via distributed ranking
+    "q148_skew_profile" -> ((s: SparkSession, d: String) =>
+      graft.ops.OrderStats.skewProfile(s, d)),
     // ANN over embeddings
     "q30_ann_brute" -> ((s: SparkSession, d: String) => Ann.bruteTopK(s, d)),
     // metadata-FILTERED vector search: top-k restricted to label = 3; the
@@ -1219,6 +1231,10 @@ object SparkEntry {
     "q142_tree_depths" -> OracleSql.q142(2000),
     "q143_interval_merge" -> OracleSql.q143,
     "q144_rolling_distinct" -> OracleSql.q144,
+    "q145_stratified_sample" -> OracleSql.q145(3),
+    "q146_share_of_total" -> OracleSql.q146,
+    "q147_temporal_join" -> OracleSql.q147(400, 600, 1000),
+    "q148_skew_profile" -> OracleSql.q148,
     // both outer null sides hashed row-for-row
     "q100_outer_join" ->
       """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey, c.c_name,

@@ -148,6 +148,49 @@ object Analytics {
       .groupBy("first_type").agg(count(lit(1)).as("n_purchases"))
   }
 
+  /** Gate query (q145): deterministic stratified k-sample — the smallest k
+    * splitmix hashes per stratum (a fixed-size, seed-reproducible sample
+    * per group: the hash IS the sampling coin, so reruns/backfills pick the
+    * SAME rows — the q53 reproducibility discipline in top-k form). One
+    * group-partitioned rank window. */
+  def stratifiedSample(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("h"), col("event_id"))
+    // & MaxValue: the sampling key must order identically as a signed long
+    // (engine) and an unsigned UBIGINT (oracle) — masking the sign bit
+    // makes both orders agree
+    table(spark, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        graft.functions.SeedExprs.mix64(col("event_id"))
+          .bitwiseAND(lit(Long.MaxValue)).as("h"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("event_type"), col("event_id"), col("rn").cast("long").as("rn"))
+  }
+
+  /** Gate query (q146): share-of-total and cumulative (Lorenz) share per
+    * group — window ratios over the (group, day) ROLLUP relation (never the
+    * raw events), in exact e6 integers. */
+  def shareOfTotal(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = table(spark, dir, "events")
+      .select(col("event_type"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+          .cast("long").as("day"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+      .groupBy("event_type", "day").agg(sum(col("cents")).as("c"))
+    val total = Window.partitionBy("event_type")
+    val cum = Window.partitionBy("event_type").orderBy("day")
+    g.select(col("event_type"), col("day"), col("c"),
+      expr("(1000000 * c)").as("num"),
+      sum(col("c")).over(total).as("den"),
+      (sum(col("c")).over(cum) * 1000000L).as("cnum"))
+      .select(col("event_type"), col("day"), col("c"),
+        expr("num div den").as("share_e6"),
+        expr("cnum div den").as("cum_share_e6"))
+  }
+
   /** Gate query (q144): rolling 7-day DISTINCT active users — distinct
     * counts are not algebraic, so sliding windows can't reuse partial sums;
     * the scalable trick is presence-row replication: each (user, day)

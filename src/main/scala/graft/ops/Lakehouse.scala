@@ -87,6 +87,27 @@ object Lakehouse {
         col("val").as("old_val"), col("mval").as("new_val"))
   }
 
+  /** Gate query (q147): temporal VALIDITY join — probe lookups (key, t)
+    * joined to the SCD2 version valid at time t (vf ≤ t < vt, NULL vt =
+    * open). The plan is a hash equi-join on key with the interval predicate
+    * as a residual filter — correct because SCD2 intervals per key are
+    * disjoint by construction (each probe matches ≤ 1 version), so no
+    * range-partitioning machinery is needed; the q84 binned range join is
+    * the fallback when the build side isn't keyed. This is the
+    * dimension-at-time lookup every warehouse fact load runs. */
+  def temporalJoin(spark: SparkSession, nDelta: Int = 400,
+                   nProbes: Int = 600, keyspace: Int = 1000): DataFrame = {
+    val scd = scd2(spark, nDelta)
+      .select(col("key"), col("valid_from").as("vf"), col("val"),
+        col("valid_to").as("vt"))
+    val probes = spark.range(0, nProbes.toLong).select(col("id").as("pid"),
+      (m31(col("id") + 8000000L) % keyspace).as("key"),
+      (m31(col("id") + 9000000L) % 450).as("t"))
+    probes.join(scd, Seq("key"))
+      .where(col("t") >= col("vf") && (col("vt").isNull || col("t") < col("vt")))
+      .select(col("pid"), col("key"), col("t"), col("val"), col("vf"))
+  }
+
   /** Gate query (q120): compaction planning over a file-manifest table —
     * small files (< 32 MB) bin into jobs by a per-bucket running-size
     * threshold (256 MB target). The cumulative window partitions BY BUCKET

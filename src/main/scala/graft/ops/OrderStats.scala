@@ -102,6 +102,29 @@ object OrderStats {
         col("freq"), col("cents"))
   }
 
+  /** Gate query (q148): key-skew profiler — the diagnostics pass that tells
+    * a pipeline WHERE to salt before a join melts an executor. Key counts
+    * rank via [[distributedRowNumber]] (ordered heaviest-first); the report
+    * is one row of exact integers: key count, total rows, top-1 / top-10 /
+    * top-1% mass, and the top-key share in e6. At 10^9 keys the ranking is
+    * the only non-trivial step and it's the same two-pass range machinery
+    * as q138/q141 — never a single-task window. */
+  def skewProfile(spark: SparkSession, dir: String, parts: Int = 8): DataFrame = {
+    val k = table(spark, dir, "lineitem")
+      .groupBy(col("l_partkey").as("key")).agg(count(lit(1)).as("n"))
+    val ranked = distributedRowNumber(k, parts, col("n").desc, col("key"))
+    val nk = ranked.count()
+    val onePct = nk / 100 + 1
+    ranked.agg(
+      count(lit(1)).as("n_keys"), sum(col("n")).as("total_rows"),
+      max(when(col("rn") === 1, col("n"))).as("top1_n"),
+      sum(when(col("rn") <= 10, col("n")).otherwise(0L)).as("top10_n"),
+      sum(when(col("rn") <= onePct, col("n")).otherwise(0L)).as("top1pct_n"))
+      .select(col("n_keys"), col("total_rows"), col("top1_n"), col("top10_n"),
+        col("top1pct_n"),
+        expr("(1000000 * top1_n) div total_rows").as("top1_share_e6"))
+  }
+
   /** Gate query (q115): the 2-D skyline (minimize price, maximize size) of
     * the part table, with the member count per skyline point.
     *
