@@ -1637,6 +1637,21 @@ object OracleSql {
       |  ((1000000 * max(CASE WHEN rk = 1 THEN n END)) // max(total))::BIGINT AS top1_share_e6
       |FROM r2""".stripMargin
 
+  /** Replica oracle for q149 (Analytics.giniSplits). */
+  val q149: String =
+    """WITH d AS (SELECT date_diff('day', DATE '2024-01-01', ts::DATE)::BIGINT AS day, event_type FROM events),
+      |c AS (SELECT day, event_type, count(*)::BIGINT AS c FROM d GROUP BY 1, 2),
+      |g AS (SELECT day, sum(c)::BIGINT AS n, sum(c * c)::BIGINT AS ssq FROM c GROUP BY 1)
+      |SELECT day, n, (((n * n - ssq) * 1000000) // (n * n))::BIGINT AS gini_e6 FROM g""".stripMargin
+
+  /** Replica oracle for q150 (Analytics.eventCorrelation). */
+  def q150(windowUs: Long): String =
+    s"""WITH p AS (SELECT user_id, epoch_us(ts) AS pus, event_id AS pid FROM events WHERE event_type = 'purchase'),
+       |e AS (SELECT user_id AS eu, epoch_us(ts) AS eus FROM events WHERE event_type = 'error')
+       |SELECT p.user_id, count(*)::BIGINT AS n_pairs, count(DISTINCT p.pid)::BIGINT AS n_purchases_hit
+       |FROM p JOIN e ON e.eu = p.user_id AND e.eus > p.pus AND e.eus <= p.pus + $windowUs
+       |GROUP BY 1""".stripMargin
+
   /** graft.text.Dedup.simhash64 over the `documents` table → CTE text
     * defining `sim(doc_id, sh)` (sh as UBIGINT; bit-identical to the Scala
     * signed long). */

@@ -351,6 +351,12 @@ object SparkEntry {
     // key-skew profiler (top-k mass / Lorenz stats) via distributed ranking
     "q148_skew_profile" -> ((s: SparkSession, d: String) =>
       graft.ops.OrderStats.skewProfile(s, d)),
+    // Gini split statistics (exact rational impurity, no logs, no FP)
+    "q149_gini_splits" -> ((s: SparkSession, d: String) =>
+      graft.ops.Analytics.giniSplits(s, d)),
+    // incident-after-action correlation join (keyed + time-window residual)
+    "q150_event_correlation" -> ((s: SparkSession, d: String) =>
+      graft.ops.Analytics.eventCorrelation(s, d)),
     // ANN over embeddings
     "q30_ann_brute" -> ((s: SparkSession, d: String) => Ann.bruteTopK(s, d)),
     // metadata-FILTERED vector search: top-k restricted to label = 3; the
@@ -1235,6 +1241,8 @@ object SparkEntry {
     "q146_share_of_total" -> OracleSql.q146,
     "q147_temporal_join" -> OracleSql.q147(400, 600, 1000),
     "q148_skew_profile" -> OracleSql.q148,
+    "q149_gini_splits" -> OracleSql.q149,
+    "q150_event_correlation" -> OracleSql.q150(43200000000L),
     // both outer null sides hashed row-for-row
     "q100_outer_join" ->
       """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey, c.c_name,

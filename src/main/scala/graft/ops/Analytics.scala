@@ -148,6 +148,45 @@ object Analytics {
       .groupBy("first_type").agg(count(lit(1)).as("n_purchases"))
   }
 
+  /** Gate query (q149): split statistics — Gini impurity of the class mix
+    * (event types) per candidate bucket (day), the decision-tree split
+    * primitive. Gini = 1 − Σp² is a RATIONAL in the counts, so it computes
+    * exactly as (N² − Σc²)·10^6 div N² — integer end to end, no logs, no FP
+    * (entropy's log₂ would not hash cross-engine). Two keyed aggregations,
+    * the second over (buckets × classes) rows. */
+  def giniSplits(spark: SparkSession, dir: String): DataFrame = {
+    val c = table(spark, dir, "events")
+      .select(datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+        .cast("long").as("day"), col("event_type"))
+      .groupBy("day", "event_type").agg(count(lit(1)).as("c"))
+    c.groupBy("day")
+      .agg(sum(col("c")).as("n"), sum(col("c") * col("c")).as("ssq"))
+      .select(col("day"), col("n"),
+        expr("((n * n - ssq) * 1000000) div (n * n)").as("gini_e6"))
+  }
+
+  /** Gate query (q150): cross-event correlation — for each purchase, the
+    * errors by the same user within the next 12 hours (the
+    * incident-after-action join). Keyed equi-join on user_id with the time
+    * window as a residual predicate: per-user event counts bound the probe
+    * fan-out, so the join never goes quadratic in the table — the q84
+    * binned range join is the fallback when no shared key exists. */
+  def eventCorrelation(spark: SparkSession, dir: String,
+                       windowUs: Long = 43200000000L): DataFrame = {
+    val ev = table(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("us").as("pus"), col("event_id").as("pid"))
+    val e = ev.where(col("event_type") === "error")
+      .select(col("user_id"), col("us").as("eus"))
+    p.join(e, Seq("user_id"))
+      .where(col("eus") > col("pus") && col("eus") <= col("pus") + windowUs)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("pid")).as("n_purchases_hit"))
+  }
+
   /** Gate query (q145): deterministic stratified k-sample — the smallest k
     * splitmix hashes per stratum (a fixed-size, seed-reproducible sample
     * per group: the hash IS the sampling coin, so reruns/backfills pick the
