@@ -923,6 +923,21 @@ object OracleSql {
        |SELECT tile, count(*)::BIGINT AS n_png, sum(brightness)::BIGINT AS sum_brightness
        |FROM pj WHERE is_png GROUP BY 1""".stripMargin
 
+  /** Replica oracle for q151 (MetroBrightness.layer): the full raster→
+    * vector→rollup chain analytically — q98's four sampled pixels, the
+    * geotag, the metro-box PIP, and the team draw, grouped per (boundary,
+    * team) over PNG rows. */
+  def q151(n: Long): String =
+    s"""WITH ${pipelineCtes(n,
+         Seq(("hfmt", 5L), ("hp00", 0L), ("hp90", 1L),
+           ("hp09", 4294967296L), ("hp99", 4294967297L)),
+         Seq(("is_png", "(hfmt & 1) = 0"),
+           ("brightness",
+             "((hp00 & 191) + (hp90 & 191) + 3 + (hp09 & 191) + 4 + (hp99 & 191) + 7)::BIGINT")))}
+       |SELECT boundary_id, team, count(*)::BIGINT AS n_png,
+       |  sum(brightness)::BIGINT AS sum_brightness
+       |FROM pj WHERE is_png AND boundary_id IS NOT NULL GROUP BY 1, 2""".stripMargin
+
   /** q96: KMV union/intersection estimates replayed — per-side top-k
     * sketches, merged union sketch, ρ membership count, and both HUGEINT
     * floor-division estimates (mirrors Sketches.kmvIntersect). */

@@ -357,6 +357,10 @@ object SparkEntry {
     // incident-after-action correlation join (keyed + time-window residual)
     "q150_event_correlation" -> ((s: SparkSession, d: String) =>
       graft.ops.Analytics.eventCorrelation(s, d)),
+    // the north-star composition: real pixel decode x broadcast-boundary
+    // PIP x per-team rollup, one operator
+    "q151_metro_brightness" -> ((s: SparkSession, _: String) =>
+      graft.multimodal.MetroBrightness.layer(s)),
     // ANN over embeddings
     "q30_ann_brute" -> ((s: SparkSession, d: String) => Ann.bruteTopK(s, d)),
     // metadata-FILTERED vector search: top-k restricted to label = 3; the
@@ -1243,6 +1247,7 @@ object SparkEntry {
     "q148_skew_profile" -> OracleSql.q148,
     "q149_gini_splits" -> OracleSql.q149,
     "q150_event_correlation" -> OracleSql.q150(43200000000L),
+    "q151_metro_brightness" -> OracleSql.q151(2000),
     // both outer null sides hashed row-for-row
     "q100_outer_join" ->
       """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey, c.c_name,

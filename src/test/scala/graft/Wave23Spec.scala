@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.MetroBrightness
+import graft.pipeline.{ImagePipeline, Validate}
+import graft.spatial.BoundaryIndex
+import graft.synth.{Geotag, ImageSynth}
+
+class Wave23Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("metro brightness: rollup equals a driver-side replay with real decode") {
+    val n = 300L
+    val got = MetroBrightness.layer(spark, n, 4).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap
+    // independent replay: same synth table, but PIP + decode + rollup done
+    // sequentially on the driver with the raw index (no mapPartitions path)
+    val index = new BoundaryIndex(ImagePipeline.metroBoundaries.toArray)
+    val rows = ImagePipeline.synthTable(spark, n, 4).collect()
+    val expect = rows.filter(_.fmt == "png").flatMap { r =>
+      val seed = ImageSynth.seedOf(r.image_id.stripPrefix("img").toLong)
+      val (lon, lat) = Geotag.of(seed)
+      Option(index.queryFirst(lon, lat)).map { b =>
+        val img = Validate.decode(r.bytes, r.fmt)
+        val s = Seq((0, 0), (9, 0), (0, 9), (9, 9))
+          .map { case (x, y) => (img.getRGB(x, y) & 0xFF).toLong }.sum
+        ((b, ImageSynth.metaOf(seed)._2), s)
+      }
+    }.groupBy(_._1).map { case (k, vs) => (k, (vs.length.toLong, vs.map(_._2).sum)) }
+    assert(got == expect && got.nonEmpty)
+    // every metro x team cell should be populated at n=300 (70% metro draw)
+    assert(got.keySet.map(_._1) == Set("metro_0", "metro_1", "metro_2"))
+  }
+}
