@@ -1204,7 +1204,7 @@ object OracleSql {
        |  [16,32,64][((hw & 2147483647) % 3)::INT + 1] AS w,
        |  [16,32,64][((hh & 2147483647) % 3)::INT + 1] AS h
        |FROM st3 WHERE (hfmt & 1) = 0),
-       |blk AS (SELECT idx, w, h,
+       |blk AS (SELECT idx, w, h, bx::BIGINT AS bx, by::BIGINT AS by,
        |  (${mix("xor(xor(seed, (by::UBIGINT << 32)), bx::UBIGINT)")} & 191)::BIGINT AS base
        |FROM img, range(0,8) tb(bx), range(0,8) tc(by)
        |WHERE bx < w // 8 AND by < h // 8)""".stripMargin
@@ -1229,6 +1229,26 @@ object OracleSql {
        |  (sum(16 * base) + count(*) * 384)::BIGINT AS lvl1_sum,
        |  (sum(4 * base) + count(*) * 96)::BIGINT AS lvl2_sum
        |FROM blk GROUP BY idx""".stripMargin
+
+  /** Replica oracle for q152 (Pyramid.totalVariation): anisotropic TV in
+    * closed form — in-block gradients are the ramp constants (3 per
+    * horizontal pair, 4 per vertical pair), block-boundary contributions
+    * are 8·|Δbase−21| (horizontal neighbors) and 8·|Δbase−28| (vertical),
+    * since the 8-step ramp resets across the boundary. Derived once,
+    * verified against a direct per-pixel render in Wave23Spec. */
+  def q152(n: Long): String =
+    s"""WITH ${imageBlockCtes(n)},
+       |pairs AS (
+       |  SELECT a.idx, 8 * abs(b.base - a.base - 21) AS t
+       |  FROM blk a JOIN blk b ON a.idx = b.idx AND b.bx = a.bx + 1 AND b.by = a.by
+       |  UNION ALL
+       |  SELECT a.idx, 8 * abs(b.base - a.base - 28) AS t
+       |  FROM blk a JOIN blk b ON a.idx = b.idx AND b.bx = a.bx AND b.by = a.by + 1),
+       |dims AS (SELECT idx, max(w) AS w, max(h) AS h FROM blk GROUP BY idx),
+       |bnd AS (SELECT idx, sum(t) AS s FROM pairs GROUP BY idx)
+       |SELECT d.idx::BIGINT AS idx,
+       |  (d.h * (d.w - d.w // 8) * 3 + d.w * (d.h - d.h // 8) * 4 + b.s)::BIGINT AS tv
+       |FROM dims d JOIN bnd b ON d.idx = b.idx""".stripMargin
 
   /** Replica oracle for q118 (Sessionize.staySegments) — identical lag/
     * running-sum segmentation with the haversine spelled term-for-term as

@@ -250,6 +250,10 @@ object SparkEntry {
     // real 2x2 floor-mean downsample applied twice; both level sums gated
     "q117_pyramid" -> ((s: SparkSession, _: String) =>
       graft.multimodal.Pyramid.pyramidSums(s)),
+    // per-image total variation from the decoded pixels, pair by pair —
+    // the texture/flatness complexity score image filters threshold on
+    "q152_image_tv" -> ((s: SparkSession, _: String) =>
+      graft.multimodal.Pyramid.totalVariation(s)),
     // spatial sessionization / trajectory segmentation with exact-integer
     // per-segment path length
     "q118_stay_segments" -> ((s: SparkSession, d: String) =>
@@ -1248,6 +1252,7 @@ object SparkEntry {
     "q149_gini_splits" -> OracleSql.q149,
     "q150_event_correlation" -> OracleSql.q150(43200000000L),
     "q151_metro_brightness" -> OracleSql.q151(2000),
+    "q152_image_tv" -> OracleSql.q152(1200),
     // both outer null sides hashed row-for-row
     "q100_outer_join" ->
       """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey, c.c_name,

@@ -72,4 +72,42 @@ object Pyramid {
         }
       }(Encoders.product[PyrRow])
       .toDF()
+
+  final case class TvRow(idx: Long, tv: Long)
+
+  /** Gate query (q152): per-PNG-image anisotropic total variation
+    * Σ|v(x+1,y)−v(x,y)| + Σ|v(x,y+1)−v(x,y)| — the standard "is this frame
+    * flat/synthetic or does it carry texture" complexity score a training-
+    * data image filter thresholds on. Computed from the REAL decoded
+    * pixels, pair by pair; the oracle replays it in closed form (in-block
+    * gradients are the ramp constants 3/4, block-boundary terms are
+    * 8·|Δbase−21| and 8·|Δbase−28| per adjacent block pair — verified
+    * against a direct render in Wave23Spec). Same no-shuffle scale shape
+    * as q116: one number per image leaves the scan partition. */
+  def totalVariation(spark: SparkSession, n: Long = 1200, parts: Int = 16): DataFrame =
+    ImagePipeline.synthTable(spark, n, parts)
+      .filter(_.fmt == "png")
+      .mapPartitions { it =>
+        it.map { r =>
+          val (buf, w, h) = pixels(r.bytes, r.fmt)
+          var s = 0L
+          var y = 0
+          while (y < h) {
+            val off = y * w
+            var x = 0
+            while (x < w - 1) {
+              s += math.abs((buf(off + x + 1) & 0xFF) - (buf(off + x) & 0xFF)); x += 1
+            }
+            if (y < h - 1) {
+              var x2 = 0
+              while (x2 < w) {
+                s += math.abs((buf(off + w + x2) & 0xFF) - (buf(off + x2) & 0xFF)); x2 += 1
+              }
+            }
+            y += 1
+          }
+          TvRow(r.image_id.stripPrefix("img").toLong, s)
+        }
+      }(Encoders.product[TvRow])
+      .toDF()
 }

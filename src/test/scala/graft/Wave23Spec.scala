@@ -32,4 +32,27 @@ class Wave23Spec extends AnyFunSuite {
     // every metro x team cell should be populated at n=300 (70% metro draw)
     assert(got.keySet.map(_._1) == Set("metro_0", "metro_1", "metro_2"))
   }
+
+  test("total variation: decoded-pixel TV equals the closed block form") {
+    val n = 200L
+    val got = graft.multimodal.Pyramid.totalVariation(spark, n, 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // closed form straight from the synth block structure (the oracle's
+    // derivation, independently in Scala): in-block ramp constants plus
+    // 8*|dBase-21| / 8*|dBase-28| per adjacent block pair
+    val rows = ImagePipeline.synthTable(spark, n, 4).collect().filter(_.fmt == "png")
+    assert(got.keySet == rows.map(_.image_id.stripPrefix("img").toLong).toSet)
+    rows.foreach { r =>
+      val seed = ImageSynth.seedOf(r.image_id.stripPrefix("img").toLong)
+      val (w, h) = (r.w, r.h); val (bw, bh) = (w / 8, h / 8)
+      def base(bx: Int, by: Int): Long =
+        ImageSynth.mix(seed ^ (by.toLong << 32) ^ bx.toLong) & 0xBF
+      var s = h.toLong * (w - bw) * 3 + w.toLong * (h - bh) * 4
+      for (by <- 0 until bh; bx <- 0 until bw - 1)
+        s += 8 * math.abs(base(bx + 1, by) - base(bx, by) - 21)
+      for (bx <- 0 until bw; by <- 0 until bh - 1)
+        s += 8 * math.abs(base(bx, by + 1) - base(bx, by) - 28)
+      assert(got(r.image_id.stripPrefix("img").toLong) == s, s"tv mismatch for ${r.image_id}")
+    }
+  }
 }
