@@ -1687,6 +1687,40 @@ object OracleSql {
        |FROM p JOIN e ON e.eu = p.user_id AND e.eus > p.pus AND e.eus <= p.pus + $windowUs
        |GROUP BY 1""".stripMargin
 
+  /** Replica oracle for q153 (SegmentJoin.intersectionCounts): the same
+    * grid-cover + min-corner-dedupe + integer-orientation pipeline in SQL
+    * (prototype-verified against an O(n²) numpy brute force at sf0.01:
+    * 1647 pairs / 1476 cells, exact per-cell match). */
+  def q153: String =
+    """WITH seg AS (
+      |  SELECT event_id AS id,
+      |    1024 + (event_id * 2654435761) % 63488 AS x1,
+      |    1024 + (event_id * 2246822519) % 63488 AS y1,
+      |    1024 + (event_id * 2654435761) % 63488 + ((event_id * 3266489917) % 1024 - 512) AS x2,
+      |    1024 + (event_id * 2246822519) % 63488 + ((event_id * 668265263) % 1024 - 512) AS y2
+      |  FROM events),
+      |sb AS (SELECT id, x1, y1, x2, y2,
+      |  least(x1,x2) AS x0, greatest(x1,x2) AS xm,
+      |  least(y1,y2) AS y0, greatest(y1,y2) AS ym FROM seg),
+      |cells AS (
+      |  SELECT sb.*, x0//1024 + ox AS cx, y0//1024 + oy AS cy
+      |  FROM sb, range(0,2) rx(ox), range(0,2) ry(oy)
+      |  WHERE x0//1024 + ox <= xm//1024 AND y0//1024 + oy <= ym//1024),
+      |p AS (SELECT a.id AS ia, b.id AS ib, a.cx AS gx, a.cy AS gy
+      |      FROM cells a JOIN cells b ON a.cx = b.cx AND a.cy = b.cy,
+      |      LATERAL (SELECT
+      |        (b.x2-b.x1)*(a.y1-b.y1) - (b.y2-b.y1)*(a.x1-b.x1) AS d1,
+      |        (b.x2-b.x1)*(a.y2-b.y1) - (b.y2-b.y1)*(a.x2-b.x1) AS d2,
+      |        (a.x2-a.x1)*(b.y1-a.y1) - (a.y2-a.y1)*(b.x1-a.x1) AS d3,
+      |        (a.x2-a.x1)*(b.y2-a.y1) - (a.y2-a.y1)*(b.x2-a.x1) AS d4) d
+      |      WHERE a.id < b.id
+      |        AND ((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0))
+      |        AND ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0))
+      |        AND a.cx = greatest(a.x0, b.x0) // 1024
+      |        AND a.cy = greatest(a.y0, b.y0) // 1024)
+      |SELECT gx::BIGINT AS gx, gy::BIGINT AS gy, count(*)::BIGINT AS n
+      |FROM p GROUP BY 1, 2""".stripMargin
+
   /** graft.text.Dedup.simhash64 over the `documents` table → CTE text
     * defining `sim(doc_id, sh)` (sh as UBIGINT; bit-identical to the Scala
     * signed long). */

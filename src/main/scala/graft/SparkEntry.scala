@@ -256,6 +256,10 @@ object SparkEntry {
       graft.multimodal.Pyramid.totalVariation(s)),
     // spatial sessionization / trajectory segmentation with exact-integer
     // per-segment path length
+    // PBSM segment-intersection join: integer orientation predicates,
+    // min-corner duplicate avoidance (no post-join distinct)
+    "q153_segment_intersections" -> ((s: SparkSession, d: String) =>
+      graft.spatial.SegmentJoin.intersectionCounts(s, d)),
     "q118_stay_segments" -> ((s: SparkSession, d: String) =>
       graft.ops.Sessionize.staySegments(s, d)),
     // time-travel read of the epoch-checkpointed store: as-of filter is a
@@ -1253,6 +1257,7 @@ object SparkEntry {
     "q150_event_correlation" -> OracleSql.q150(43200000000L),
     "q151_metro_brightness" -> OracleSql.q151(2000),
     "q152_image_tv" -> OracleSql.q152(1200),
+    "q153_segment_intersections" -> OracleSql.q153,
     // both outer null sides hashed row-for-row
     "q100_outer_join" ->
       """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey, c.c_name,

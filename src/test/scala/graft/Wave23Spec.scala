@@ -55,4 +55,45 @@ class Wave23Spec extends AnyFunSuite {
       assert(got(r.image_id.stripPrefix("img").toLong) == s, s"tv mismatch for ${r.image_id}")
     }
   }
+
+  test("segment intersections: grid join equals an all-pairs brute force") {
+    // sf0.01: 1,647 intersecting pairs — sf0.001's 1,000 segments are too
+    // sparse in the 64k lattice to cross at all (also confirms the
+    // predicate rejects honestly: the grid join returns empty there too)
+    val dir = "/root/testdata/sf0.01"
+    val got = graft.spatial.SegmentJoin.intersectionCounts(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val segs = graft.spatial.SegmentJoin.segments(spark, dir).collect()
+    val n = segs.length
+    val id = segs.map(_.getLong(0)); val x1 = segs.map(_.getLong(1))
+    val y1 = segs.map(_.getLong(2)); val x2 = segs.map(_.getLong(3))
+    val y2 = segs.map(_.getLong(4))
+    def cr(ox: Long, oy: Long, px: Long, py: Long, qx: Long, qy: Long): Long =
+      (px - ox) * (qy - oy) - (py - oy) * (qx - ox)
+    val expect = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    var i = 0
+    while (i < n) {
+      var j = 0
+      while (j < n) {
+        if (id(i) < id(j)) {
+          val d1 = cr(x1(j), y1(j), x2(j), y2(j), x1(i), y1(i))
+          val d2 = cr(x1(j), y1(j), x2(j), y2(j), x2(i), y2(i))
+          if ((d1 > 0 && d2 < 0) || (d1 < 0 && d2 > 0)) {
+            val d3 = cr(x1(i), y1(i), x2(i), y2(i), x1(j), y1(j))
+            val d4 = cr(x1(i), y1(i), x2(i), y2(i), x2(j), y2(j))
+            if ((d3 > 0 && d4 < 0) || (d3 < 0 && d4 > 0)) {
+              val k = (math.max(math.min(x1(i), x2(i)), math.min(x1(j), x2(j))) / 1024,
+                       math.max(math.min(y1(i), y2(i)), math.min(y1(j), y2(j))) / 1024)
+              expect(k) = expect.getOrElse(k, 0L) + 1L
+            }
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    assert(got == expect.toMap && got.values.sum == 1647L)
+    assert(graft.spatial.SegmentJoin
+      .intersectionCounts(spark, "/root/testdata/sf0.001").count() == 0L)
+  }
 }
