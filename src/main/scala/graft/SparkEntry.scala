@@ -256,6 +256,10 @@ object SparkEntry {
       graft.multimodal.Pyramid.totalVariation(s)),
     // spatial sessionization / trajectory segmentation with exact-integer
     // per-segment path length
+    // shoelace polygon measures, fully unrolled into codegen arithmetic:
+    // exact-integer area/centroid + the FP-disciplined perimeter
+    "q154_polygon_measures" -> ((s: SparkSession, d: String) =>
+      graft.geo.Polygons.polygonMeasures(s, d)),
     // PBSM segment-intersection join: integer orientation predicates,
     // min-corner duplicate avoidance (no post-join distinct)
     "q153_segment_intersections" -> ((s: SparkSession, d: String) =>
@@ -1258,6 +1262,7 @@ object SparkEntry {
     "q151_metro_brightness" -> OracleSql.q151(2000),
     "q152_image_tv" -> OracleSql.q152(1200),
     "q153_segment_intersections" -> OracleSql.q153,
+    "q154_polygon_measures" -> OracleSql.q154,
     // both outer null sides hashed row-for-row
     "q100_outer_join" ->
       """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey, c.c_name,

@@ -96,4 +96,30 @@ class Wave23Spec extends AnyFunSuite {
     assert(graft.spatial.SegmentJoin
       .intersectionCounts(spark, "/root/testdata/sf0.001").count() == 0L)
   }
+
+  test("polygon measures: shoelace replayed vertex-by-vertex on the driver") {
+    val dirs = Array((1L, 0L), (1L, 1L), (0L, 1L), (-1L, 1L),
+      (-1L, 0L), (-1L, -1L), (0L, -1L), (1L, -1L))
+    val got = graft.geo.Polygons.polygonMeasures(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.size == 1000)
+    got.foreach { case (i, (a2g, cxg, cyg, pg)) =>
+      val v = (0 until 8).map { k =>
+        val r = 100L + (i * 2654435761L + k * 40503L) % 900L
+        (dirs(k)._1 * r, dirs(k)._2 * r)
+      }
+      var a2 = 0L; var cxn = 0L; var cyn = 0L; var per = 0.0
+      for (k <- 0 until 8) {
+        val (x1, y1) = v(k); val (x2, y2) = v((k + 1) % 8)
+        val cr = x1 * y2 - x2 * y1
+        a2 += cr; cxn += (x1 + x2) * cr; cyn += (y1 + y2) * cr
+        per += math.sqrt(((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1)).toDouble)
+      }
+      assert(a2 > 0, s"polygon $i must be CCW-positive")
+      assert((a2g, cxg, cyg, pg) ==
+        (a2, cxn * 1000000L / (3 * a2), cyn * 1000000L / (3 * a2),
+          math.floor(per * 1000000.0 + 0.5).toLong), s"mismatch for id $i")
+    }
+  }
 }
