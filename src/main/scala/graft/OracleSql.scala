@@ -1748,6 +1748,59 @@ object OracleSql {
        |FROM events""".stripMargin
   }
 
+  /** Replica oracle for q155 (Storage.encodingAdvisor): same unpivot, same
+    * group-local run definition, same thresholds. */
+  def q155: String =
+    """WITH long AS (
+      |  SELECT l_orderkey, l_linenumber, l_partkey AS pk, l_suppkey AS sk, 'l_returnflag' AS col_name, l_returnflag AS val FROM lineitem
+      |  UNION ALL SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, 'l_linestatus', l_linestatus FROM lineitem
+      |  UNION ALL SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, 'l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem
+      |  UNION ALL SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, 'l_partkey', CAST(l_partkey AS VARCHAR) FROM lineitem),
+      |r AS (SELECT col_name, val, lag(val) OVER (PARTITION BY col_name, l_orderkey ORDER BY l_linenumber, pk, sk, val) AS prev FROM long),
+      |g AS (SELECT col_name, count(*) AS n_rows, count(DISTINCT val) AS n_distinct,
+      |  sum(CASE WHEN prev IS NULL OR prev <> val THEN 1 ELSE 0 END) AS n_runs
+      |FROM r GROUP BY 1)
+      |SELECT col_name, n_rows::BIGINT AS n_rows, n_distinct::BIGINT AS n_distinct,
+      |  n_runs::BIGINT AS n_runs, ((n_rows * 1000000) // n_runs)::BIGINT AS avg_run_e6,
+      |  CASE WHEN n_runs * 4 <= n_rows THEN 'RLE'
+      |       WHEN n_distinct * 20 <= n_rows THEN 'DICT' ELSE 'PLAIN' END AS rec
+      |FROM g""".stripMargin
+
+  /** Replica oracle for q156 (Storage.zoneMapSim) — predicate ranges come
+    * from the SAME constant table (Storage.predsSql). */
+  def q156: String =
+    s"""WITH z AS (SELECT l_orderkey // 256 AS fid,
+       |  min(l_shipdate::DATE - DATE '1970-01-01')::BIGINT AS dmin,
+       |  max(l_shipdate::DATE - DATE '1970-01-01')::BIGINT AS dmax,
+       |  count(*)::BIGINT AS n
+       |FROM lineitem GROUP BY 1),
+       |p AS (SELECT pid, (lo_d - DATE '1970-01-01')::BIGINT AS lo,
+       |  (hi_d - DATE '1970-01-01')::BIGINT AS hi
+       |FROM ${graft.ops.Storage.predsSql})
+       |SELECT pid::BIGINT AS pid, count(*)::BIGINT AS n_files,
+       |  sum(CASE WHEN dmax < lo OR dmin > hi THEN 1 ELSE 0 END)::BIGINT AS n_skipped,
+       |  sum(CASE WHEN dmax < lo OR dmin > hi THEN 0 ELSE n END)::BIGINT AS rows_scanned
+       |FROM z, p GROUP BY 1""".stripMargin
+
+  /** Replica oracle for q157 (Storage.merkleDiff): identical double-splitmix
+    * row hash (h1 depends only on k, so both sides reuse the h1 stage), the
+    * same bit_xor bucket digests, digests re-signed to the engine's Long. */
+  def q157: String = {
+    def sign(x: String): String =
+      s"(CASE WHEN $x >= 9223372036854775808::UBIGINT THEN $x::HUGEINT - $M64::HUGEINT ELSE $x::HUGEINT END)::BIGINT"
+    s"""WITH o AS (SELECT o_orderkey AS k, floor(o_totalprice*100 + 0.5)::BIGINT AS cents FROM orders),
+       |h1t AS MATERIALIZED (SELECT k, cents, ${mix("k")} AS h1 FROM o),
+       |hs AS MATERIALIZED (SELECT k, ${mix("xor(h1, cents::UBIGINT)")} AS h2 FROM h1t),
+       |hd AS MATERIALIZED (SELECT k,
+       |  ${mix("xor(h1, (cents + CASE WHEN k % 97 = 0 THEN 1 ELSE 0 END)::UBIGINT)")} AS h2 FROM h1t),
+       |ds AS (SELECT k // 64 AS bucket, bit_xor(h2) AS dg, count(*) AS n FROM hs GROUP BY 1),
+       |dd AS (SELECT k // 64 AS bucket, bit_xor(h2) AS dg, count(*) AS n FROM hd GROUP BY 1)
+       |SELECT ds.bucket::BIGINT AS bucket, ds.n::BIGINT AS n,
+       |  ${sign("ds.dg")} AS src_digest, ${sign("dd.dg")} AS dst_digest
+       |FROM ds JOIN dd ON ds.bucket = dd.bucket
+       |WHERE ds.dg <> dd.dg OR ds.n <> dd.n""".stripMargin
+  }
+
   /** graft.text.Dedup.simhash64 over the `documents` table → CTE text
     * defining `sim(doc_id, sh)` (sh as UBIGINT; bit-identical to the Scala
     * signed long). */

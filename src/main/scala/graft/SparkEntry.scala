@@ -256,6 +256,14 @@ object SparkEntry {
       graft.multimodal.Pyramid.totalVariation(s)),
     // spatial sessionization / trajectory segmentation with exact-integer
     // per-segment path length
+    // storage-layer trio: encoding advisor, zone-map skip simulator,
+    // Merkle range-digest table diff
+    "q155_encoding_advisor" -> ((s: SparkSession, d: String) =>
+      graft.ops.Storage.encodingAdvisor(s, d)),
+    "q156_zonemap_sim" -> ((s: SparkSession, d: String) =>
+      graft.ops.Storage.zoneMapSim(s, d)),
+    "q157_merkle_diff" -> ((s: SparkSession, d: String) =>
+      graft.ops.Storage.merkleDiff(s, d)),
     // shoelace polygon measures, fully unrolled into codegen arithmetic:
     // exact-integer area/centroid + the FP-disciplined perimeter
     "q154_polygon_measures" -> ((s: SparkSession, d: String) =>
@@ -1263,6 +1271,9 @@ object SparkEntry {
     "q152_image_tv" -> OracleSql.q152(1200),
     "q153_segment_intersections" -> OracleSql.q153,
     "q154_polygon_measures" -> OracleSql.q154,
+    "q155_encoding_advisor" -> OracleSql.q155,
+    "q156_zonemap_sim" -> OracleSql.q156,
+    "q157_merkle_diff" -> OracleSql.q157,
     // both outer null sides hashed row-for-row
     "q100_outer_join" ->
       """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey, c.c_name,
