@@ -1250,6 +1250,17 @@ object OracleSql {
        |  (d.h * (d.w - d.w // 8) * 3 + d.w * (d.h - d.h // 8) * 4 + b.s)::BIGINT AS tv
        |FROM dims d JOIN bnd b ON d.idx = b.idx""".stripMargin
 
+  /** Replica oracle for q158 (Pyramid.pixelHistogram): the in-block ramp
+    * offset t = 3·(x%8) + 4·(y%8) has a FIXED multiplicity table over the
+    * 64 block positions, so the per-image histogram is
+    * count(idx, base + t) = Σ_blocks mult(t) — pure integer closed form. */
+  def q158(n: Long): String =
+    s"""WITH ${imageBlockCtes(n)},
+       |offm AS (SELECT 3 * (i % 8) + 4 * (i // 8) AS t, count(*)::BIGINT AS m
+       |         FROM range(0, 64) r(i) GROUP BY 1)
+       |SELECT idx::BIGINT AS idx, (base + t)::INT AS value, sum(m)::BIGINT AS cnt
+       |FROM blk, offm GROUP BY 1, 2""".stripMargin
+
   /** Replica oracle for q118 (Sessionize.staySegments) — identical lag/
     * running-sum segmentation with the haversine spelled term-for-term as
     * SpatialQueries.haversineKmCol (the q86 FP discipline) and per-step
@@ -1800,6 +1811,37 @@ object OracleSql {
        |FROM ds JOIN dd ON ds.bucket = dd.bucket
        |WHERE ds.dg <> dd.dg OR ds.n <> dd.n""".stripMargin
   }
+
+  /** Replica oracle for q159 (MlEval.thresholdSweep). */
+  def q159: String =
+    """WITH s AS (SELECT floor(value*100 + 0.5)::BIGINT AS score,
+      |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos FROM events),
+      |tot AS (SELECT sum(pos)::BIGINT AS npos, count(*)::BIGINT AS n FROM s),
+      |t AS (SELECT (i * 5000)::BIGINT AS thr FROM range(1, 10) r(i)),
+      |pt0 AS (SELECT thr, count(*)::BIGINT AS pred_pos, sum(pos)::BIGINT AS tp
+      |       FROM s, t WHERE score >= thr GROUP BY 1),
+      |pt AS (SELECT t.thr, coalesce(pt0.pred_pos, 0) AS pred_pos,
+      |       coalesce(pt0.tp, 0) AS tp FROM t LEFT JOIN pt0 ON t.thr = pt0.thr)
+      |SELECT thr, tp, (pred_pos - tp)::BIGINT AS fp, (npos - tp)::BIGINT AS fn,
+      |  (n - pred_pos - npos + tp)::BIGINT AS tn,
+      |  (CASE WHEN pred_pos = 0 THEN NULL
+      |        ELSE (tp * 1000000) // pred_pos END)::BIGINT AS precision_e6,
+      |  ((tp * 1000000) // npos)::BIGINT AS recall_e6,
+      |  ((2 * tp * 1000000) // (pred_pos + npos))::BIGINT AS f1_e6
+      |FROM pt, tot""".stripMargin
+
+  /** Replica oracle for q160 (MlEval.aucExact): the identical doubled
+    * Mann-Whitney rank sum, integer end to end. */
+  def q160: String =
+    """WITH s AS (SELECT floor(value*100 + 0.5)::BIGINT AS score,
+      |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos FROM events),
+      |g AS (SELECT score, count(*)::BIGINT AS c, sum(pos)::BIGINT AS p FROM s GROUP BY 1),
+      |r AS (SELECT *, sum(c) OVER (ORDER BY score) - c AS below FROM g),
+      |f AS (SELECT sum(p * (2*below + c + 1))::BIGINT AS rsum2,
+      |  sum(p)::BIGINT AS npos, sum(c - p)::BIGINT AS nneg FROM r)
+      |SELECT npos, nneg, (rsum2 - npos*(npos+1))::BIGINT AS u2,
+      |  (((rsum2 - npos*(npos+1)) * 1000000) // (2*npos*nneg))::BIGINT AS auc_e6
+      |FROM f""".stripMargin
 
   /** graft.text.Dedup.simhash64 over the `documents` table → CTE text
     * defining `sim(doc_id, sh)` (sh as UBIGINT; bit-identical to the Scala

@@ -256,6 +256,14 @@ object SparkEntry {
       graft.multimodal.Pyramid.totalVariation(s)),
     // spatial sessionization / trajectory segmentation with exact-integer
     // per-segment path length
+    // per-image pixel histogram from real decode, closed-form gated
+    "q158_pixel_histogram" -> ((s: SparkSession, _: String) =>
+      graft.multimodal.Pyramid.pixelHistogram(s)),
+    // model-eval pair: threshold-sweep confusion metrics + exact integer AUC
+    "q159_threshold_sweep" -> ((s: SparkSession, d: String) =>
+      graft.ops.MlEval.thresholdSweep(s, d)),
+    "q160_auc_exact" -> ((s: SparkSession, d: String) =>
+      graft.ops.MlEval.aucExact(s, d)),
     // storage-layer trio: encoding advisor, zone-map skip simulator,
     // Merkle range-digest table diff
     "q155_encoding_advisor" -> ((s: SparkSession, d: String) =>
@@ -1274,6 +1282,9 @@ object SparkEntry {
     "q155_encoding_advisor" -> OracleSql.q155,
     "q156_zonemap_sim" -> OracleSql.q156,
     "q157_merkle_diff" -> OracleSql.q157,
+    "q158_pixel_histogram" -> OracleSql.q158(1200),
+    "q159_threshold_sweep" -> OracleSql.q159,
+    "q160_auc_exact" -> OracleSql.q160,
     // both outer null sides hashed row-for-row
     "q100_outer_join" ->
       """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey, c.c_name,

@@ -110,4 +110,29 @@ object Pyramid {
         }
       }(Encoders.product[TvRow])
       .toDF()
+
+  final case class HistRow(idx: Long, value: Int, cnt: Long)
+
+  /** Gate query (q158): per-PNG-image pixel-value histogram (nonzero bins
+    * only) from the REAL decoded pixels — the exposure/contrast profile
+    * histogram-equalization and quality filters start from. Oracle replays
+    * it in closed form: within a block, value = base + t where t = 3·(x%8)
+    * + 4·(y%8) has a fixed 64-entry multiplicity table, so count(idx, v) =
+    * Σ_blocks mult(v − base). Same scale shape as q116: bins leave the
+    * scan partition, bytes don't. */
+  def pixelHistogram(spark: SparkSession, n: Long = 1200, parts: Int = 16): DataFrame =
+    ImagePipeline.synthTable(spark, n, parts)
+      .filter(_.fmt == "png")
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val (buf, _, _) = pixels(r.bytes, r.fmt)
+          val hist = new Array[Long](256)
+          var i = 0
+          while (i < buf.length) { hist(buf(i) & 0xFF) += 1; i += 1 }
+          val idx = r.image_id.stripPrefix("img").toLong
+          (0 until 256).iterator.filter(hist(_) > 0)
+            .map(v => HistRow(idx, v, hist(v)))
+        }
+      }(Encoders.product[HistRow])
+      .toDF()
 }

@@ -61,4 +61,57 @@ class Wave24Spec extends AnyFunSuite {
       assert(n == byBucket(b) && s != d)
     }
   }
+
+  test("pixel histogram: bins sum to the frame and match a direct decode") {
+    val got = graft.multimodal.Pyramid.pixelHistogram(spark, 60, 2).collect()
+      .groupBy(_.getLong(0))
+      .map { case (i, rs) => (i, rs.map(r => r.getInt(1) -> r.getLong(2)).toMap) }
+    val rows = graft.pipeline.ImagePipeline.synthTable(spark, 60, 2).collect()
+      .filter(_.fmt == "png")
+    assert(got.keySet == rows.map(_.image_id.stripPrefix("img").toLong).toSet)
+    rows.foreach { r =>
+      val img = graft.pipeline.Validate.decode(r.bytes, r.fmt)
+      val h = scala.collection.mutable.Map.empty[Int, Long]
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val v = img.getRGB(x, y) & 0xFF
+        h(v) = h.getOrElse(v, 0L) + 1L
+      }
+      val g = got(r.image_id.stripPrefix("img").toLong)
+      assert(g == h.toMap && g.values.sum == r.w.toLong * r.h)
+    }
+  }
+
+  test("threshold sweep: one threshold replayed from the raw rows") {
+    val got = graft.ops.MlEval.thresholdSweep(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet == (1 to 9).map(_ * 5000L).toSet)
+    val rows = graft.Session.table(spark, dir, "events")
+      .select(floor(col("value") * 100.0 + 0.5).cast("long"),
+        (col("event_type") === "purchase").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val thr = 25000L
+    val tp = rows.count(t => t._1 >= thr && t._2 == 1L).toLong
+    val fp = rows.count(t => t._1 >= thr && t._2 == 0L).toLong
+    val fn = rows.count(t => t._1 < thr && t._2 == 1L).toLong
+    val tn = rows.count(t => t._1 < thr && t._2 == 0L).toLong
+    assert(got(thr) == ((tp, fp, fn, tn)))
+  }
+
+  test("exact AUC equals the brute-force pairwise comparison with ties") {
+    val r = graft.ops.MlEval.aucExact(spark, dir).collect()(0)
+    val (npos, nneg, u2) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val rows = graft.Session.table(spark, dir, "events")
+      .select(floor(col("value") * 100.0 + 0.5).cast("long"),
+        (col("event_type") === "purchase").cast("long")).collect()
+      .map(t => (t.getLong(0), t.getLong(1)))
+    val ps = rows.filter(_._2 == 1L).map(_._1)
+    val ns = rows.filter(_._2 == 0L).map(_._1)
+    assert(npos == ps.length && nneg == ns.length)
+    var wins2 = 0L
+    for (p <- ps; n <- ns) {
+      if (p > n) wins2 += 2 else if (p == n) wins2 += 1
+    }
+    assert(u2 == wins2)
+    assert(r.getLong(3) == wins2 * 1000000L / (2 * npos * nneg))
+  }
 }
