@@ -1843,6 +1843,61 @@ object OracleSql {
       |  (((rsum2 - npos*(npos+1)) * 1000000) // (2*npos*nneg))::BIGINT AS auc_e6
       |FROM f""".stripMargin
 
+  /** Replica oracle for q161 (Baskets.pairRules). */
+  def q161(minSup: Long): String =
+    s"""WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |item AS (SELECT p, count(*)::BIGINT AS cnt FROM b GROUP BY 1),
+       |tot AS (SELECT count(DISTINCT o)::BIGINT AS n_orders FROM b),
+       |pr AS (SELECT a.p AS pa, c.p AS pb, count(*)::BIGINT AS sup
+       |       FROM b a JOIN b c ON a.o = c.o AND a.p < c.p
+       |       GROUP BY 1, 2 HAVING count(*) >= $minSup)
+       |SELECT pa, pb, sup, ia.cnt AS cnt_a, ib.cnt AS cnt_b,
+       |  ((sup * n_orders * 1000000) // (ia.cnt * ib.cnt))::BIGINT AS lift_e6
+       |FROM pr JOIN item ia ON pr.pa = ia.p JOIN item ib ON pr.pb = ib.p, tot""".stripMargin
+
+  /** Replica oracle for q162 (Simplify.douglasPeucker): Douglas-Peucker as
+    * a RECURSIVE interval-splitting CTE — breadth-first set closure where
+    * the engine runs a depth-first stack (different evaluation family,
+    * prototype-verified against a third, python implementation: 8,676
+    * kept of 10,000 at sf0.01, exact). Same integer metric: split iff
+    * max cross² > ε²·len², argmax ties to the smallest index; degenerate
+    * chords never split (cross ≡ 0 on both sides by construction). */
+  def q162(eps2: Long): String =
+    s"""WITH RECURSIVE pts AS (
+       |  SELECT user_id AS u,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS i,
+       |    (event_id * 2654435761) % 4096 AS x,
+       |    (event_id * 2246822519) % 4096 AS y
+       |  FROM events),
+       |bounds AS (SELECT u, max(i) AS n1 FROM pts GROUP BY 1),
+       |iv AS (
+       |  SELECT u, 0::BIGINT AS s, n1::BIGINT AS e FROM bounds WHERE n1 >= 1
+       |  UNION ALL
+       |  SELECT sp.u, CASE WHEN c.half = 0 THEN sp.s ELSE sp.bi END AS s,
+       |               CASE WHEN c.half = 0 THEN sp.bi ELSE sp.e END AS e
+       |  FROM (
+       |    SELECT r.u, r.s, r.e, b.bi
+       |    FROM iv r
+       |    JOIN pts ps ON ps.u = r.u AND ps.i = r.s
+       |    JOIN pts pe ON pe.u = r.u AND pe.i = r.e,
+       |    LATERAL (
+       |      SELECT p.i AS bi,
+       |        ((pe.x-ps.x)*(p.y-ps.y) - (pe.y-ps.y)*(p.x-ps.x))
+       |        * ((pe.x-ps.x)*(p.y-ps.y) - (pe.y-ps.y)*(p.x-ps.x)) AS m
+       |      FROM pts p WHERE p.u = r.u AND p.i > r.s AND p.i < r.e
+       |      ORDER BY m DESC, p.i ASC LIMIT 1
+       |    ) b
+       |    WHERE r.e > r.s + 1
+       |      AND b.m > $eps2 * ((pe.x-ps.x)*(pe.x-ps.x) + (pe.y-ps.y)*(pe.y-ps.y))
+       |  ) sp, (VALUES (0), (1)) c(half)
+       |),
+       |kept AS (
+       |  SELECT u, 0::BIGINT AS i FROM bounds
+       |  UNION SELECT u, n1::BIGINT FROM bounds
+       |  UNION SELECT u, s FROM iv
+       |  UNION SELECT u, e FROM iv)
+       |SELECT DISTINCT u::BIGINT AS user_id, i::BIGINT AS seq FROM kept""".stripMargin
+
   /** graft.text.Dedup.simhash64 over the `documents` table → CTE text
     * defining `sim(doc_id, sh)` (sh as UBIGINT; bit-identical to the Scala
     * signed long). */

@@ -256,6 +256,12 @@ object SparkEntry {
       graft.multimodal.Pyramid.totalVariation(s)),
     // spatial sessionization / trajectory segmentation with exact-integer
     // per-segment path length
+    // Douglas-Peucker trajectory simplification, integer-exact split test
+    "q162_douglas_peucker" -> ((s: SparkSession, d: String) =>
+      graft.spatial.Simplify.douglasPeucker(s, d)),
+    // market-basket pair rules: in-basket self-join, support + exact lift
+    "q161_basket_rules" -> ((s: SparkSession, d: String) =>
+      graft.ops.Baskets.pairRules(s, d)),
     // per-image pixel histogram from real decode, closed-form gated
     "q158_pixel_histogram" -> ((s: SparkSession, _: String) =>
       graft.multimodal.Pyramid.pixelHistogram(s)),
@@ -1285,6 +1291,8 @@ object SparkEntry {
     "q158_pixel_histogram" -> OracleSql.q158(1200),
     "q159_threshold_sweep" -> OracleSql.q159,
     "q160_auc_exact" -> OracleSql.q160,
+    "q161_basket_rules" -> OracleSql.q161(3),
+    "q162_douglas_peucker" -> OracleSql.q162(250000L),
     // both outer null sides hashed row-for-row
     "q100_outer_join" ->
       """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey, c.c_name,

@@ -114,4 +114,40 @@ class Wave24Spec extends AnyFunSuite {
     assert(u2 == wins2)
     assert(r.getLong(3) == wins2 * 1000000L / (2 * npos * nneg))
   }
+
+  test("basket rules: supports replayed from raw baskets, lift exact") {
+    val got = graft.ops.Baskets.pairRules(spark, dir, 2L).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val baskets = graft.Session.table(spark, dir, "lineitem")
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val byOrder = baskets.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val itemCnt = baskets.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val sup = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    byOrder.values.foreach { ps =>
+      for (i <- ps.indices; j <- i + 1 until ps.length)
+        sup((ps(i), ps(j))) = sup.getOrElse((ps(i), ps(j)), 0L) + 1L
+    }
+    val expect = sup.filter(_._2 >= 2L).map { case ((a, b), s) =>
+      ((a, b), (s, itemCnt(a), itemCnt(b),
+        s * byOrder.size * 1000000L / (itemCnt(a) * itemCnt(b))))
+    }.toMap
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("douglas-peucker: endpoints always kept; higher eps keeps fewer points") {
+    val loose = graft.spatial.Simplify.douglasPeucker(spark, dir, 4000000L)
+    val tight = graft.spatial.Simplify.douglasPeucker(spark, dir, 250000L)
+    val nl = loose.count(); val nt = tight.count()
+    assert(nl < nt)
+    // every user keeps seq 0, and kept-set of loose ⊆ kept-set of tight
+    // (monotonicity of the split test in eps)
+    val ls = loose.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ts = tight.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ls.subsetOf(ts))
+    val users = graft.Session.table(spark, dir, "events")
+      .select("user_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(ls.filter(_._2 == 0L).map(_._1) == users)
+  }
 }
