@@ -1898,6 +1898,33 @@ object OracleSql {
        |  UNION SELECT u, e FROM iv)
        |SELECT DISTINCT u::BIGINT AS user_id, i::BIGINT AS seq FROM kept""".stripMargin
 
+  /** Replica oracle for q163 (Drift.tvDrift). */
+  def q163: String =
+    """WITH s AS (SELECT event_type,
+      |  floor(value * 100 + 0.5)::BIGINT // 5000 AS bucket,
+      |  CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS in_a
+      |FROM events),
+      |bc AS (SELECT event_type, bucket, sum(in_a)::BIGINT AS ca,
+      |  sum(1 - in_a)::BIGINT AS cb FROM s GROUP BY 1, 2),
+      |tot AS (SELECT event_type, sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb
+      |  FROM bc GROUP BY 1)
+      |SELECT bc.event_type, max(na)::BIGINT AS na, max(nb)::BIGINT AS nb,
+      |  count(*)::BIGINT AS n_buckets,
+      |  ((sum(abs(ca * nb - cb * na)) * 1000000) // (2 * max(na) * max(nb)))::BIGINT AS tv_e6
+      |FROM bc JOIN tot ON bc.event_type = tot.event_type
+      |GROUP BY 1""".stripMargin
+
+  /** Replica oracle for q164 (Gram.gramUpper): the O(n·d²) element join —
+    * a different evaluation family from the engine's per-partition
+    * outer-product fold. Quantization is the identical double expression. */
+  def q164: String =
+    """WITH q AS (SELECT vec_id, i,
+      |  floor(embedding[i + 1]::DOUBLE * 1000 + 0.5)::BIGINT AS qv
+      |FROM embeddings, range(0, 64) r(i))
+      |SELECT a.i::INT AS i, b.i::INT AS j, sum(a.qv * b.qv)::BIGINT AS g
+      |FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+      |GROUP BY 1, 2""".stripMargin
+
   /** graft.text.Dedup.simhash64 over the `documents` table → CTE text
     * defining `sim(doc_id, sh)` (sh as UBIGINT; bit-identical to the Scala
     * signed long). */

@@ -256,6 +256,13 @@ object SparkEntry {
       graft.multimodal.Pyramid.totalVariation(s)),
     // spatial sessionization / trajectory segmentation with exact-integer
     // per-segment path length
+    // snapshot drift monitoring: exact total-variation distance per type
+    "q163_tv_drift" -> ((s: SparkSession, d: String) =>
+      graft.ops.Drift.tvDrift(s, d)),
+    // distributed Gram matrix: per-partition outer-product fold, O(parts*d^2)
+    // exchange regardless of row count
+    "q164_gram_matrix" -> ((s: SparkSession, d: String) =>
+      graft.ann.Gram.gramUpper(s, d)),
     // Douglas-Peucker trajectory simplification, integer-exact split test
     "q162_douglas_peucker" -> ((s: SparkSession, d: String) =>
       graft.spatial.Simplify.douglasPeucker(s, d)),
@@ -1293,6 +1300,8 @@ object SparkEntry {
     "q160_auc_exact" -> OracleSql.q160,
     "q161_basket_rules" -> OracleSql.q161(3),
     "q162_douglas_peucker" -> OracleSql.q162(250000L),
+    "q163_tv_drift" -> OracleSql.q163,
+    "q164_gram_matrix" -> OracleSql.q164,
     // both outer null sides hashed row-for-row
     "q100_outer_join" ->
       """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey, c.c_name,

@@ -150,4 +150,40 @@ class Wave24Spec extends AnyFunSuite {
       .select("user_id").distinct().collect().map(_.getLong(0)).toSet
     assert(ls.filter(_._2 == 0L).map(_._1) == users)
   }
+
+  test("tv drift: one type replayed exactly; identical halves drift zero") {
+    val got = graft.ops.Drift.tvDrift(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    val rows = graft.Session.table(spark, dir, "events")
+      .where(col("event_type") === "click")
+      .select(expr("floor(value * 100 + 0.5) div 5000"),
+        (col("ts") < lit("2024-01-16").cast("timestamp")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val na = rows.count(_._2 == 1L).toLong; val nb = rows.length - na
+    val num = rows.groupBy(_._1).values.map { g =>
+      val ca = g.count(_._2 == 1L).toLong; val cb = g.length - ca
+      math.abs(ca * nb - cb * na)
+    }.sum
+    assert(got("click") == ((na, nb, num * 1000000L / (2 * na * nb))))
+    // TV is a metric: bounded by 1e6/2... actually by 1e6 (here halves of
+    // the same uniform draw, so drift should be well under 0.5e6)
+    got.values.foreach { case (_, _, tv) => assert(tv >= 0 && tv <= 1000000L) }
+  }
+
+  test("gram matrix: fold equals the driver-side outer-product sum") {
+    val got = graft.ann.Gram.gramUpper(spark, dir).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    assert(got.size == 64 * 65 / 2)
+    val vecs = graft.Session.table(spark, dir, "embeddings")
+      .select("embedding").collect().map(_.getSeq[Float](0))
+    val acc = scala.collection.mutable.Map.empty[(Int, Int), Long]
+    vecs.foreach { xs =>
+      val q = xs.map(f => math.floor(f.toDouble * 1000.0 + 0.5).toLong)
+      for (i <- 0 until 64; j <- i until 64)
+        acc((i, j)) = acc.getOrElse((i, j), 0L) + q(i) * q(j)
+    }
+    assert(got == acc.toMap)
+    // diagonal entries are sums of squares: non-negative
+    (0 until 64).foreach(i => assert(got((i, i)) >= 0L))
+  }
 }
