@@ -1925,6 +1925,63 @@ object OracleSql {
       |FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
       |GROUP BY 1, 2""".stripMargin
 
+  /** Replica oracle for q165 (Blocking.sortedNeighborhood): the single-
+    * window row_number rank vs the engine's distributed two-pass ranking
+    * (the q138 discipline — different mechanism, same total order). */
+  def q165(w: Int): String =
+    s"""WITH r AS (SELECT doc_id, n_chars,
+       |  row_number() OVER (ORDER BY n_chars, doc_id) AS rn FROM documents)
+       |SELECT a.doc_id AS da, b.doc_id AS db, (b.rn - a.rn)::INT AS rank_dist,
+       |  abs(a.n_chars - b.n_chars)::BIGINT AS len_gap
+       |FROM r a JOIN r b ON b.rn BETWEEN a.rn + 1 AND a.rn + $w""".stripMargin
+
+  /** Replica oracle for q166 (Corr.corrMatrix): identical quantization,
+    * exact integer moments, and the identical floor(cov·10⁶/(√·√)+0.5)
+    * double expression (q154 FP discipline). */
+  def q166: String = {
+    val cols = Seq(
+      ("price_h", "floor(l_extendedprice / 100.0 + 0.5)::BIGINT"),
+      ("qty", "floor(l_quantity + 0.5)::BIGINT"),
+      ("disc_bp", "floor(l_discount * 10000.0 + 0.5)::BIGINT"),
+      ("tax_bp", "floor(l_tax * 10000.0 + 0.5)::BIGINT"))
+    val proj = cols.map { case (n, e) => s"$e AS $n" }.mkString(", ")
+    val names = cols.map(_._1)
+    val moments =
+      (Seq("count(*)::BIGINT AS n") ++
+        names.map(n => s"sum($n)::BIGINT AS s_$n") ++
+        names.map(n => s"sum($n * $n)::BIGINT AS ss_$n") ++
+        (for (i <- names.indices; j <- i + 1 until names.length)
+          yield s"sum(${names(i)} * ${names(j)})::BIGINT AS sp_${names(i)}_${names(j)}"))
+        .mkString(", ")
+    val pairSelects = (for (i <- names.indices; j <- i + 1 until names.length) yield {
+      val (a, b) = (names(i), names(j))
+      s"""SELECT '$a' AS col_a, '$b' AS col_b,
+         |  (n * sp_${a}_${b} - s_$a * s_$b)::BIGINT AS cov_n,
+         |  (n * ss_$a - s_$a * s_$a)::BIGINT AS var_a_n,
+         |  (n * ss_$b - s_$b * s_$b)::BIGINT AS var_b_n FROM m""".stripMargin
+    }).mkString("\n  UNION ALL ")
+    s"""WITH b AS (SELECT $proj FROM lineitem),
+       |m AS (SELECT $moments FROM b),
+       |p AS ($pairSelects)
+       |SELECT col_a, col_b, cov_n, var_a_n, var_b_n,
+       |  floor(cov_n::DOUBLE * 1000000.0 /
+       |    (sqrt(var_a_n::DOUBLE) * sqrt(var_b_n::DOUBLE)) + 0.5)::BIGINT AS corr_e6
+       |FROM p""".stripMargin
+  }
+
+  /** Replica oracle for q167 (BoxJoin.idwSurface). */
+  val q167: String =
+    """WITH p AS (SELECT fmod(value, 360.0) - 180.0 AS lon,
+      |  (user_id % 181 - 90)::DOUBLE AS lat,
+      |  floor(value * 100.0 + 0.5)::BIGINT AS cents FROM events),
+      |t AS (SELECT least(floor((lon+180)/360.0*64), 63)::BIGINT AS tx,
+      |             least(floor((lat+90)/180.0*64), 63)::BIGINT AS ty, cents FROM p),
+      |k AS (SELECT tx + dx AS x, ty + dy AS y,
+      |             (1000000 // (1 + dx*dx + dy*dy))::BIGINT AS w, cents
+      |      FROM t, range(-1,2) a(dx), range(-1,2) b(dy))
+      |SELECT x, y, sum(w)::BIGINT AS sw, (sum(w * cents) // sum(w))::BIGINT AS idw_cents
+      |FROM k WHERE x >= 0 AND x < 64 AND y >= 0 AND y < 64 GROUP BY 1, 2""".stripMargin
+
   /** graft.text.Dedup.simhash64 over the `documents` table → CTE text
     * defining `sim(doc_id, sh)` (sh as UBIGINT; bit-identical to the Scala
     * signed long). */

@@ -256,6 +256,15 @@ object SparkEntry {
       graft.multimodal.Pyramid.totalVariation(s)),
     // spatial sessionization / trajectory segmentation with exact-integer
     // per-segment path length
+    // sorted-neighborhood ER blocking over the distributed ranking
+    "q165_sorted_neighborhood" -> ((s: SparkSession, d: String) =>
+      graft.ops.Blocking.sortedNeighborhood(s, d)),
+    // feature-correlation matrix: one-pass integer moments + q154-style FP
+    "q166_corr_matrix" -> ((s: SparkSession, d: String) =>
+      graft.ops.Corr.corrMatrix(s, d)),
+    // inverse-distance-weighted surface: integer weights, one exchange
+    "q167_idw_surface" -> ((s: SparkSession, d: String) =>
+      graft.spatial.BoxJoin.idwSurface(s, d)),
     // snapshot drift monitoring: exact total-variation distance per type
     "q163_tv_drift" -> ((s: SparkSession, d: String) =>
       graft.ops.Drift.tvDrift(s, d)),
@@ -1302,6 +1311,9 @@ object SparkEntry {
     "q162_douglas_peucker" -> OracleSql.q162(250000L),
     "q163_tv_drift" -> OracleSql.q163,
     "q164_gram_matrix" -> OracleSql.q164,
+    "q165_sorted_neighborhood" -> OracleSql.q165(3),
+    "q166_corr_matrix" -> OracleSql.q166,
+    "q167_idw_surface" -> OracleSql.q167,
     // both outer null sides hashed row-for-row
     "q100_outer_join" ->
       """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey, c.c_name,

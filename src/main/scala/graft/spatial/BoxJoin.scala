@@ -120,6 +120,35 @@ object BoxJoin {
     coarse.unionByName(fine)
   }
 
+  /** Gate query (q167): inverse-distance-weighted surface interpolation —
+    * the scattered-samples→raster step (heatmap of "typical value" per
+    * tile, kriging's cheap cousin). Each sample contributes its value to
+    * its 3×3 tile neighborhood with INTEGER weights 10⁶ div (1 + d²)
+    * (1e6 / 5e5 / 333333) so both Σw·v and Σw are exact and merge-order-
+    * free; the interpolated value is one integer division. Identical
+    * exchange shape to q113's KDE: replication happens map-side BEFORE the
+    * single hash aggregation — no halo exchange. */
+  def idwSurface(spark: SparkSession, dir: String): DataFrame = {
+    val pts = SpatialQueries.eventPoints(spark, dir)
+    val offs = array((for (dx <- -1 to 1; dy <- -1 to 1) yield
+      struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"),
+        lit(1000000L / (1L + dx * dx + dy * dy)).as("w"))): _*)
+    pts.select(
+        least(floor((col("lon") + 180.0) / 360.0 * 64.0), lit(63.0))
+          .cast("long").as("tx"),
+        least(floor((col("lat") + 90.0) / 180.0 * 64.0), lit(63.0))
+          .cast("long").as("ty"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+      .withColumn("o", explode(offs))
+      .select((col("tx") + col("o.dx")).as("x"), (col("ty") + col("o.dy")).as("y"),
+        col("o.w"), (col("o.w") * col("cents")).as("wv"))
+      .where(col("x") >= 0 && col("x") < 64 && col("y") >= 0 && col("y") < 64)
+      .groupBy("x", "y")
+      .agg(sum(col("w")).as("sw"), sum(col("wv")).as("swv"))
+      .select(col("x"), col("y"), col("sw"),
+        expr("swv div sw").as("idw_cents"))
+  }
+
   /** Gate query (q131): grid-density clustering (the GBSCAN / grid-DBSCAN
     * shape): tiles with ≥ minPts points are "dense"; dense tiles merge into
     * clusters by 4-adjacency, resolved with the SAME hash-min label

@@ -186,4 +186,68 @@ class Wave24Spec extends AnyFunSuite {
     // diagonal entries are sums of squares: non-negative
     (0 until 64).foreach(i => assert(got((i, i)) >= 0L))
   }
+
+  test("sorted neighborhood: n*w - w(w+1)/2 pairs, each within the window") {
+    val w = 3
+    val got = graft.ops.Blocking.sortedNeighborhood(spark, dir, w).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    val docs = graft.Session.table(spark, dir, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(1), r.getLong(0))).sorted // (n_chars, doc_id)
+    val n = docs.length
+    assert(got.length == n * w - w * (w + 1) / 2)
+    val rank = docs.map(_._2).zipWithIndex.toMap
+    val len = docs.map(t => t._2 -> t._1).toMap
+    got.foreach { case (da, db, d, gap) =>
+      assert(rank(db) - rank(da) == d && d >= 1 && d <= w)
+      assert(gap == math.abs(len(da) - len(db)))
+    }
+  }
+
+  test("corr matrix: one pair replayed; corr bounded by 1e6") {
+    val got = graft.ops.Corr.corrMatrix(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got.size == 6)
+    val rows = graft.Session.table(spark, dir, "lineitem")
+      .select(floor(col("l_extendedprice") / 100.0 + 0.5).cast("long"),
+        floor(col("l_quantity") + 0.5).cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val n = rows.length.toLong
+    val (sx, sy) = (rows.map(_._1).sum, rows.map(_._2).sum)
+    val sxx = rows.map(t => t._1 * t._1).sum
+    val syy = rows.map(t => t._2 * t._2).sum
+    val sxy = rows.map(t => t._1 * t._2).sum
+    val (covN, vaN, vbN) = (n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy)
+    val corr = math.floor(covN.toDouble * 1000000.0 /
+      (math.sqrt(vaN.toDouble) * math.sqrt(vbN.toDouble)) + 0.5).toLong
+    assert(got(("price_h", "qty")) == ((covN, vaN, vbN, corr)))
+    got.values.foreach { case (_, va, vb, c) =>
+      assert(va > 0 && vb > 0 && math.abs(c) <= 1000000L)
+    }
+  }
+
+  test("idw surface: one tile replayed from the raw points") {
+    val got = graft.spatial.BoxJoin.idwSurface(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    val pts = graft.spatial.SpatialQueries.eventPoints(spark, dir)
+      .select("lon", "lat", "value").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    val contrib = scala.collection.mutable.Map.empty[(Long, Long), (Long, Long)]
+    pts.foreach { case (lon, lat, v) =>
+      val tx = math.min(math.floor((lon + 180.0) / 360.0 * 64.0), 63.0).toLong
+      val ty = math.min(math.floor((lat + 90.0) / 180.0 * 64.0), 63.0).toLong
+      val cents = math.floor(v * 100.0 + 0.5).toLong
+      for (dx <- -1 to 1; dy <- -1 to 1) {
+        val (x, y) = (tx + dx, ty + dy)
+        if (x >= 0 && x < 64 && y >= 0 && y < 64) {
+          val w = 1000000L / (1 + dx * dx + dy * dy)
+          val (sw, swv) = contrib.getOrElse((x, y), (0L, 0L))
+          contrib((x, y)) = (sw + w, swv + w * cents)
+        }
+      }
+    }
+    val expect = contrib.map { case (k, (sw, swv)) => (k, (sw, swv / sw)) }.toMap
+    assert(got == expect && got.nonEmpty)
+  }
 }
