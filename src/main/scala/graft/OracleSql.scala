@@ -1982,6 +1982,47 @@ object OracleSql {
       |SELECT x, y, sum(w)::BIGINT AS sw, (sum(w * cents) // sum(w))::BIGINT AS idw_cents
       |FROM k WHERE x >= 0 AND x < 64 AND y >= 0 AND y < 64 GROUP BY 1, 2""".stripMargin
 
+  /** Replica oracle for q168 (Changepoint.cusum): identical prefix-identity
+    * CUSUM (s = P − min(0, runmin P)). */
+  def q168: String =
+    """WITH daily AS (SELECT event_type,
+      |  (ts::DATE - DATE '2024-01-01')::BIGINT AS day, count(*)::BIGINT AS x
+      |FROM events GROUP BY 1, 2),
+      |tot AS (SELECT event_type, sum(x)::BIGINT AS total, count(*)::BIGINT AS nd
+      |FROM daily GROUP BY 1),
+      |pp AS (SELECT d.event_type, d.day, t.nd,
+      |  sum(t.nd * d.x - t.total) OVER (PARTITION BY d.event_type ORDER BY d.day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+      |FROM daily d JOIN tot t ON d.event_type = t.event_type),
+      |s AS (SELECT event_type, day, nd,
+      |  p - least(0, min(p) OVER (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
+      |FROM pp),
+      |cm AS (SELECT event_type, max(s) AS cusum_max FROM s GROUP BY 1)
+      |SELECT s.event_type, max(cm.cusum_max)::BIGINT AS cusum_max,
+      |  min(s.day)::BIGINT AS peak_day, max(s.nd)::BIGINT AS nd
+      |FROM s JOIN cm ON s.event_type = cm.event_type AND s.s = cm.cusum_max
+      |GROUP BY 1""".stripMargin
+
+  /** Replica oracle for q169 (Changepoint.spearman): identical centered
+    * doubled mid-ranks and the identical FP tail. */
+  def q169: String =
+    """WITH b AS (SELECT floor(l_extendedprice / 100.0 + 0.5)::BIGINT AS vx,
+      |  floor(l_quantity + 0.5)::BIGINT AS vy FROM lineitem),
+      |n AS (SELECT count(*)::BIGINT AS n FROM b),
+      |gx AS (SELECT vx, count(*)::BIGINT AS c FROM b GROUP BY 1),
+      |rx AS (SELECT vx, 2 * (sum(c) OVER (ORDER BY vx) - c) + c + 1 AS r2x FROM gx),
+      |gy AS (SELECT vy, count(*)::BIGINT AS c FROM b GROUP BY 1),
+      |ry AS (SELECT vy, 2 * (sum(c) OVER (ORDER BY vy) - c) + c + 1 AS r2y FROM gy),
+      |j AS (SELECT (r2x - n - 1) AS cx, (r2y - n - 1) AS cy
+      |FROM b JOIN rx USING (vx) JOIN ry USING (vy), n),
+      |m AS (SELECT sum(cx*cy)::BIGINT AS sxy, sum(cx*cx)::BIGINT AS sxx,
+      |  sum(cy*cy)::BIGINT AS syy FROM j)
+      |SELECT n.n, m.sxy, m.sxx, m.syy,
+      |  floor(m.sxy::DOUBLE * 1000000.0 /
+      |    (sqrt(m.sxx::DOUBLE) * sqrt(m.syy::DOUBLE)) + 0.5)::BIGINT AS spearman_e6
+      |FROM m, n""".stripMargin
+
   /** graft.text.Dedup.simhash64 over the `documents` table → CTE text
     * defining `sim(doc_id, sh)` (sh as UBIGINT; bit-identical to the Scala
     * signed long). */

@@ -256,6 +256,13 @@ object SparkEntry {
       graft.multimodal.Pyramid.totalVariation(s)),
     // spatial sessionization / trajectory segmentation with exact-integer
     // per-segment path length
+    // CUSUM change-point per type via the prefix identity (two windows,
+    // no sequential fold)
+    "q168_cusum" -> ((s: SparkSession, d: String) =>
+      graft.ops.Changepoint.cusum(s, d)),
+    // exact Spearman rank correlation (centered doubled mid-ranks)
+    "q169_spearman" -> ((s: SparkSession, d: String) =>
+      graft.ops.Changepoint.spearman(s, d)),
     // sorted-neighborhood ER blocking over the distributed ranking
     "q165_sorted_neighborhood" -> ((s: SparkSession, d: String) =>
       graft.ops.Blocking.sortedNeighborhood(s, d)),
@@ -1314,6 +1321,8 @@ object SparkEntry {
     "q165_sorted_neighborhood" -> OracleSql.q165(3),
     "q166_corr_matrix" -> OracleSql.q166,
     "q167_idw_surface" -> OracleSql.q167,
+    "q168_cusum" -> OracleSql.q168,
+    "q169_spearman" -> OracleSql.q169,
     // both outer null sides hashed row-for-row
     "q100_outer_join" ->
       """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey, c.c_name,

@@ -250,4 +250,46 @@ class Wave24Spec extends AnyFunSuite {
     val expect = contrib.map { case (k, (sw, swv)) => (k, (sw, swv / sw)) }.toMap
     assert(got == expect && got.nonEmpty)
   }
+
+  test("cusum: prefix identity equals the sequential max(0, s+d) fold") {
+    val got = graft.ops.Changepoint.cusum(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val daily = graft.Session.table(spark, dir, "events")
+      .select(col("event_type"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case ((t, d), c) => (t, d, c) }
+    daily.groupBy(_._1).foreach { case (t, rs) =>
+      val xs = rs.sortBy(_._2).map(r => (r._2, r._3))
+      val total = xs.map(_._2).sum; val nd = xs.length.toLong
+      var s = 0L; var best = -1L; var bestDay = -1L
+      xs.foreach { case (day, x) =>
+        s = math.max(0L, s + (nd * x - total))
+        if (s > best) { best = s; bestDay = day }
+      }
+      assert(got(t) == ((best, bestDay)), s"cusum mismatch for $t")
+    }
+  }
+
+  test("spearman: matches scipy-style rank correlation replay; bounded") {
+    val r = graft.ops.Changepoint.spearman(spark, dir).collect()(0)
+    val rows = graft.Session.table(spark, dir, "lineitem")
+      .select(floor(col("l_extendedprice") / 100.0 + 0.5).cast("long"),
+        floor(col("l_quantity") + 0.5).cast("long")).collect()
+      .map(t => (t.getLong(0), t.getLong(1)))
+    val n = rows.length
+    def ranks2(vs: Array[Long]): Map[Long, Long] = {
+      val g = vs.groupBy(identity).view.mapValues(_.length.toLong).toSeq.sortBy(_._1)
+      var below = 0L
+      g.map { case (v, c) => val r = 2 * below + c + 1; below += c; (v, r) }.toMap
+    }
+    val rx = ranks2(rows.map(_._1)); val ry = ranks2(rows.map(_._2))
+    val cs = rows.map { case (x, y) => (rx(x) - n - 1L, ry(y) - n - 1L) }
+    val sxy = cs.map(t => t._1 * t._2).sum
+    val sxx = cs.map(t => t._1 * t._1).sum
+    val syy = cs.map(t => t._2 * t._2).sum
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((sxy, sxx, syy)))
+    assert(math.abs(r.getLong(4)) <= 1000000L)
+  }
 }
