@@ -1261,6 +1261,46 @@ object OracleSql {
        |SELECT idx::BIGINT AS idx, (base + t)::INT AS value, sum(m)::BIGINT AS cnt
        |FROM blk, offm GROUP BY 1, 2""".stripMargin
 
+  /** Replica oracle for q170 (Pyramid.blobCount): the block-graph closure —
+    * within a block the hot region is an upper set (always 4-connected), so
+    * image components = components of the block adjacency graph, whose
+    * edges are pure base-threshold tests (see Pyramid.blobCount doc).
+    * Closure by recursive reach (the q131 pattern), per image. */
+  def q170(n: Long, thr: Int): String =
+    s"""WITH RECURSIVE ${imageBlockCtes(n)},
+       |offm AS (SELECT 3 * (i % 8) + 4 * (i // 8) AS t, count(*)::BIGINT AS m
+       |         FROM range(0, 64) r(i) GROUP BY 1),
+       |hotb AS (SELECT idx, bx, by, by * 8 + bx AS nid, base FROM blk
+       |         WHERE base + 49 > $thr),
+       |e0 AS (
+       |  SELECT a.idx, a.nid AS u, b.nid AS v FROM hotb a JOIN hotb b
+       |    ON a.idx = b.idx AND b.bx = a.bx + 1 AND b.by = a.by
+       |   AND b.base + 28 > $thr
+       |  UNION ALL
+       |  SELECT a.idx, a.nid, b.nid FROM hotb a JOIN hotb b
+       |    ON a.idx = b.idx AND b.bx = a.bx AND b.by = a.by + 1
+       |   AND b.base + 21 > $thr),
+       |e AS (SELECT idx, u, v FROM e0 UNION ALL SELECT idx, v AS u, u AS v FROM e0),
+       |verts AS (SELECT DISTINCT idx, u AS nid FROM e),
+       |reach(idx, nid, r) AS (
+       |  SELECT idx, nid, nid FROM verts
+       |  UNION
+       |  SELECT e.idx, e.u, reach.r FROM e
+       |  JOIN reach ON reach.idx = e.idx AND reach.nid = e.v),
+       |lab0 AS (SELECT idx, nid, min(r) AS label FROM reach GROUP BY 1, 2),
+       |lab AS (SELECT idx, nid, label FROM lab0
+       |        UNION ALL
+       |        SELECT h.idx, h.nid, h.nid AS label FROM hotb h
+       |        LEFT JOIN verts vv ON vv.idx = h.idx AND vv.nid = h.nid
+       |        WHERE vv.nid IS NULL),
+       |blobs AS (SELECT idx, count(DISTINCT label)::BIGINT AS n_blobs FROM lab GROUP BY 1),
+       |hotpx AS (SELECT b.idx, sum(o.m)::BIGINT AS n_hot
+       |          FROM blk b JOIN offm o ON b.base + o.t > $thr GROUP BY 1)
+       |SELECT i.idx::BIGINT AS idx, coalesce(bl.n_blobs, 0)::BIGINT AS n_blobs,
+       |  coalesce(hp.n_hot, 0)::BIGINT AS n_hot
+       |FROM img i LEFT JOIN blobs bl ON bl.idx = i.idx
+       |LEFT JOIN hotpx hp ON hp.idx = i.idx""".stripMargin
+
   /** Replica oracle for q118 (Sessionize.staySegments) — identical lag/
     * running-sum segmentation with the haversine spelled term-for-term as
     * SpatialQueries.haversineKmCol (the q86 FP discipline) and per-step

@@ -285,6 +285,10 @@ object SparkEntry {
     // market-basket pair rules: in-basket self-join, support + exact lift
     "q161_basket_rules" -> ((s: SparkSession, d: String) =>
       graft.ops.Baskets.pairRules(s, d)),
+    // raster CCL: real union-find flood fill vs the analytic block-graph
+    // closure
+    "q170_blob_count" -> ((s: SparkSession, _: String) =>
+      graft.multimodal.Pyramid.blobCount(s)),
     // per-image pixel histogram from real decode, closed-form gated
     "q158_pixel_histogram" -> ((s: SparkSession, _: String) =>
       graft.multimodal.Pyramid.pixelHistogram(s)),
@@ -1323,6 +1327,7 @@ object SparkEntry {
     "q167_idw_surface" -> OracleSql.q167,
     "q168_cusum" -> OracleSql.q168,
     "q169_spearman" -> OracleSql.q169,
+    "q170_blob_count" -> OracleSql.q170(1200, 150),
     // both outer null sides hashed row-for-row
     "q100_outer_join" ->
       """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey, c.c_name,

@@ -111,6 +111,64 @@ object Pyramid {
       }(Encoders.product[TvRow])
       .toDF()
 
+  final case class BlobRow(idx: Long, n_blobs: Long, n_hot: Long)
+
+  /** Gate query (q170): per-PNG-image 4-connected component count of the
+    * thresholded mask (v > thr) — REAL raster CCL (two-pass union-find over
+    * the decoded pixels), the object-counting kernel. The oracle never sees
+    * a pixel: within a block the hot region {3·(x%8)+4·(y%8) > thr−base}
+    * is an upper set of the grid order, hence always 4-connected, so the
+    * image's components are the components of the BLOCK adjacency graph —
+    * horizontal edges need (base_left+49 > thr ∧ base_right+28 > thr),
+    * vertical (base_top+49 > thr ∧ base_bottom+21 > thr) — which DuckDB
+    * closes with a recursive CTE (the q63/q131 different-family
+    * discipline). */
+  def blobCount(spark: SparkSession, n: Long = 1200, parts: Int = 16,
+                thr: Int = 150): DataFrame =
+    ImagePipeline.synthTable(spark, n, parts)
+      .filter(_.fmt == "png")
+      .mapPartitions { it =>
+        it.map { r =>
+          val (buf, w, h) = pixels(r.bytes, r.fmt)
+          val hot = new Array[Boolean](w * h)
+          var nHot = 0L
+          var i = 0
+          while (i < buf.length) {
+            if ((buf(i) & 0xFF) > thr) { hot(i) = true; nHot += 1 }
+            i += 1
+          }
+          // union-find over hot pixels, left & up edges
+          val parent = Array.tabulate(w * h)(identity)
+          def find(a: Int): Int = {
+            var x = a
+            while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+            x
+          }
+          def union(a: Int, b: Int): Unit = {
+            val ra = find(a); val rb = find(b)
+            if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+          }
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = y * w + x
+              if (hot(p)) {
+                if (x > 0 && hot(p - 1)) union(p, p - 1)
+                if (y > 0 && hot(p - w)) union(p, p - w)
+              }
+              x += 1
+            }
+            y += 1
+          }
+          var blobs = 0L
+          i = 0
+          while (i < w * h) { if (hot(i) && find(i) == i) blobs += 1; i += 1 }
+          BlobRow(r.image_id.stripPrefix("img").toLong, blobs, nHot)
+        }
+      }(Encoders.product[BlobRow])
+      .toDF()
+
   final case class HistRow(idx: Long, value: Int, cnt: Long)
 
   /** Gate query (q158): per-PNG-image pixel-value histogram (nonzero bins

@@ -97,6 +97,37 @@ class Wave23Spec extends AnyFunSuite {
       .intersectionCounts(spark, "/root/testdata/sf0.001").count() == 0L)
   }
 
+  test("blob count: union-find equals a BFS flood fill on the decoded frame") {
+    val thr = 150
+    val got = graft.multimodal.Pyramid.blobCount(spark, 80, 2, thr).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rows = ImagePipeline.synthTable(spark, 80, 2).collect().filter(_.fmt == "png")
+    assert(got.keySet == rows.map(_.image_id.stripPrefix("img").toLong).toSet)
+    rows.foreach { r =>
+      val img = graft.pipeline.Validate.decode(r.bytes, r.fmt)
+      val (w, h) = (img.getWidth, img.getHeight)
+      val hot = Array.tabulate(h, w)((y, x) => (img.getRGB(x, y) & 0xFF) > thr)
+      val seen = Array.ofDim[Boolean](h, w)
+      var blobs = 0L; var nHot = 0L
+      for (y <- 0 until h; x <- 0 until w if hot(y)(x)) {
+        nHot += 1
+        if (!seen(y)(x)) {
+          blobs += 1
+          var q = List((x, y)); seen(y)(x) = true
+          while (q.nonEmpty) {
+            val (cx, cy) = q.head; q = q.tail
+            for ((nx, ny) <- Seq((cx - 1, cy), (cx + 1, cy), (cx, cy - 1), (cx, cy + 1)))
+              if (nx >= 0 && nx < w && ny >= 0 && ny < h && hot(ny)(nx) && !seen(ny)(nx)) {
+                seen(ny)(nx) = true; q = (nx, ny) :: q
+              }
+          }
+        }
+      }
+      assert(got(r.image_id.stripPrefix("img").toLong) == ((blobs, nHot)),
+        s"blob mismatch for ${r.image_id}")
+    }
+  }
+
   test("polygon measures: shoelace replayed vertex-by-vertex on the driver") {
     val dirs = Array((1L, 0L), (1L, 1L), (0L, 1L), (-1L, 1L),
       (-1L, 0L), (-1L, -1L), (0L, -1L), (1L, -1L))
