@@ -2063,6 +2063,45 @@ object OracleSql {
       |    (sqrt(m.sxx::DOUBLE) * sqrt(m.syy::DOUBLE)) + 0.5)::BIGINT AS spearman_e6
       |FROM m, n""".stripMargin
 
+  /** Replica oracle for q171 (Sharding.rendezvous): the same per-shard
+    * splitmix scores (shard salt constants embedded as UBIGINT literals),
+    * argmax in NATIVE unsigned order (the engine flips the sign bit to get
+    * the same order in signed Long), first-wins tie chain. */
+  def q171(s1: Int): String = {
+    def salt(s: Int) = java.lang.Long.toUnsignedString(graft.synth.ImageSynth.mix(s.toLong))
+    def hcol(s: Int) = s"${mix(s"xor(doc_id::UBIGINT, ${salt(s)}::UBIGINT)")} AS h$s"
+    def pick(nS: Int, best: String) =
+      (0 until nS).map(s => s"WHEN h$s = $best THEN $s").mkString("CASE ", " ", " END")
+    s"""WITH h AS (SELECT doc_id, ${(0 to s1).map(hcol).mkString(",\n  ")} FROM documents),
+       |g AS (SELECT *, greatest(${(0 until s1).map("h" + _).mkString(", ")}) AS ba,
+       |  greatest(${(0 to s1).map("h" + _).mkString(", ")}) AS bb FROM h),
+       |a AS (SELECT doc_id, ${pick(s1, "ba")}::INT AS shard_a,
+       |  ${pick(s1 + 1, "bb")}::INT AS shard_b FROM g),
+       |m AS (SELECT sum(CASE WHEN shard_a <> shard_b THEN 1 ELSE 0 END)::BIGINT AS n_moved,
+       |  count(*)::BIGINT AS n_docs FROM a)
+       |SELECT shard_a AS shard, count(*)::BIGINT AS n_before,
+       |  sum(CASE WHEN shard_a = shard_b THEN 1 ELSE 0 END)::BIGINT AS n_stayed,
+       |  max(n_moved)::BIGINT AS n_moved, max(n_docs)::BIGINT AS n_docs
+       |FROM a, m GROUP BY 1""".stripMargin
+  }
+
+  /** Replica oracle for q172 (Sharding.lpmJoin). */
+  def q172: String =
+    """WITH rts AS (SELECT shift, prefix, min(route_id) AS route_id FROM (
+      |  SELECT ((p_partkey % 4) + 2)::INT AS shift, p_partkey AS route_id,
+      |         p_partkey // (1 << ((p_partkey % 4) + 2)::INT) AS prefix
+      |  FROM part WHERE p_partkey % 7 = 0) GROUP BY 1, 2),
+      |pr AS (SELECT l_partkey AS k, count(*)::BIGINT AS cnt FROM lineitem GROUP BY 1),
+      |cand AS (SELECT pr.k, pr.cnt, r.shift, r.route_id
+      |  FROM pr, range(2, 6) s(sh)
+      |  JOIN rts r ON r.shift = sh AND r.prefix = pr.k // (1 << sh::INT)),
+      |best AS (SELECT k, cnt, min(shift) AS shift FROM cand GROUP BY 1, 2),
+      |sel AS (SELECT b.k, b.cnt, b.shift, c.route_id FROM best b
+      |  JOIN cand c ON c.k = b.k AND c.shift = b.shift)
+      |SELECT route_id, shift::INT AS shift, count(*)::BIGINT AS n_keys,
+      |  sum(cnt)::BIGINT AS n_rows
+      |FROM sel GROUP BY 1, 2""".stripMargin
+
   /** graft.text.Dedup.simhash64 over the `documents` table → CTE text
     * defining `sim(doc_id, sh)` (sh as UBIGINT; bit-identical to the Scala
     * signed long). */

@@ -256,6 +256,11 @@ object SparkEntry {
       graft.multimodal.Pyramid.totalVariation(s)),
     // spatial sessionization / trajectory segmentation with exact-integer
     // per-segment path length
+    // rendezvous sharding + resharding stability; longest-prefix-match join
+    "q171_rendezvous" -> ((s: SparkSession, d: String) =>
+      graft.ops.Sharding.rendezvous(s, d)),
+    "q172_lpm_join" -> ((s: SparkSession, d: String) =>
+      graft.ops.Sharding.lpmJoin(s, d)),
     // CUSUM change-point per type via the prefix identity (two windows,
     // no sequential fold)
     "q168_cusum" -> ((s: SparkSession, d: String) =>
@@ -1328,6 +1333,8 @@ object SparkEntry {
     "q168_cusum" -> OracleSql.q168,
     "q169_spearman" -> OracleSql.q169,
     "q170_blob_count" -> OracleSql.q170(1200, 150),
+    "q171_rendezvous" -> OracleSql.q171(10),
+    "q172_lpm_join" -> OracleSql.q172,
     // both outer null sides hashed row-for-row
     "q100_outer_join" ->
       """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey, c.c_name,

@@ -292,4 +292,45 @@ class Wave24Spec extends AnyFunSuite {
     assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((sxy, sxx, syy)))
     assert(math.abs(r.getLong(4)) <= 1000000L)
   }
+
+  test("rendezvous: populations partition the corpus; movement ~ 1/(S+1)") {
+    val rows = graft.ops.Sharding.rendezvous(spark, dir).collect()
+    val nDocs = rows.head.getLong(4)
+    assert(rows.map(_.getLong(1)).sum == nDocs) // every doc assigned once
+    val moved = rows.head.getLong(3)
+    assert(rows.map(r => r.getLong(1) - r.getLong(2)).sum == moved)
+    // consistent-hashing contract: adding shard 11 should move roughly
+    // 1/11 of keys (generous band for n=500)
+    assert(moved > nDocs / 25 && moved < nDocs / 5, s"moved=$moved of $nDocs")
+    // driver replay for one doc
+    val mix = graft.synth.ImageSynth.mix _
+    val d0 = graft.Session.table(spark, dir, "documents")
+      .select("doc_id").collect().map(_.getLong(0)).min
+    def shard(nS: Int) = (0 until nS)
+      .maxBy(s => mix(d0 ^ mix(s.toLong)) ^ Long.MinValue)
+    val row0 = rows.find(_.getInt(0) == shard(10))
+    assert(row0.isDefined && row0.get.getLong(1) > 0)
+  }
+
+  test("lpm join: longest prefix wins — replayed for every key") {
+    val got = graft.ops.Sharding.lpmJoin(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), (r.getLong(2), r.getLong(3)))).toMap
+    val parts = graft.Session.table(spark, dir, "part")
+      .select("p_partkey").collect().map(_.getLong(0)).filter(_ % 7 == 0)
+    val rts = parts.map(p => ((((p % 4) + 2).toInt, p >> (((p % 4) + 2)).toInt), p))
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val keys = graft.Session.table(spark, dir, "lineitem")
+      .select("l_partkey").collect().map(_.getLong(0))
+    val expect = scala.collection.mutable.Map.empty[(Long, Int), (Set[Long], Long)]
+    keys.groupBy(identity).foreach { case (k, ks) =>
+      val hit = (2 to 5).flatMap(sh => rts.get((sh, k >> sh)).map(r => (sh, r)))
+        .sortBy(_._1).headOption
+      hit.foreach { case (sh, r) =>
+        val (s, c) = expect.getOrElse((r, sh), (Set.empty[Long], 0L))
+        expect((r, sh)) = (s + k, c + ks.length)
+      }
+    }
+    assert(got == expect.map { case (k, (s, c)) => (k, (s.size.toLong, c)) }.toMap)
+    assert(got.nonEmpty)
+  }
 }
