@@ -2102,6 +2102,47 @@ object OracleSql {
       |  sum(cnt)::BIGINT AS n_rows
       |FROM sel GROUP BY 1, 2""".stripMargin
 
+  /** Replica oracle for q173 (Sssp.boundedSssp): the same min-plus rounds,
+    * unrolled as MATERIALIZED CTEs (DuckDB inlines single-use CTEs and the
+    * round tree would re-explode exponentially otherwise — the q63
+    * lesson). */
+  def q173(hops: Int): String = {
+    val rounds = (1 to hops).map { k =>
+      s"""d$k AS MATERIALIZED (SELECT node, min(d) AS d FROM (
+         |  SELECT node, d FROM d${k - 1}
+         |  UNION ALL
+         |  SELECT e.dst AS node, d${k - 1}.d + e.w AS d
+         |  FROM d${k - 1} JOIN e ON e.src = d${k - 1}.node) GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (SELECT user_id AS src,
+       |  (event_id * 1103515245) % 1000 AS dst,
+       |  min(event_id % 97 + 1)::BIGINT AS w FROM events GROUP BY 1, 2),
+       |d0 AS (SELECT 0::BIGINT AS node, 0::BIGINT AS d),
+       |$rounds
+       |SELECT node::BIGINT AS node, d::BIGINT AS d FROM d$hops""".stripMargin
+  }
+
+  /** Replica oracle for q174 (Sssp.twap). */
+  def q174: String =
+    """WITH s AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+      |  floor(value*100 + 0.5)::BIGINT AS cents FROM events),
+      |l AS (SELECT *, lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS next_us FROM s)
+      |SELECT user_id, sum(cents * (next_us - us))::BIGINT AS num,
+      |  sum(next_us - us)::BIGINT AS dur, count(*)::BIGINT AS n_intervals,
+      |  (sum(cents * (next_us - us)) // sum(next_us - us))::BIGINT AS twap_cents
+      |FROM l WHERE next_us IS NOT NULL GROUP BY 1""".stripMargin
+
+  /** Replica oracle for q175 (Sssp.tileOccupancy). */
+  def q175: String =
+    """WITH s AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+      |  fmod(value, 360.0) - 180.0 AS lon, (user_id % 181 - 90)::DOUBLE AS lat FROM events),
+      |t AS (SELECT user_id, event_id, us,
+      |  least(floor((lon+180)/360.0*64), 63)::BIGINT AS tx,
+      |  least(floor((lat+90)/180.0*64), 63)::BIGINT AS ty FROM s),
+      |l AS (SELECT *, lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS next_us FROM t)
+      |SELECT tx, ty, sum(next_us - us)::BIGINT AS dwell_us, count(*)::BIGINT AS n_intervals
+      |FROM l WHERE next_us IS NOT NULL GROUP BY 1, 2""".stripMargin
+
   /** graft.text.Dedup.simhash64 over the `documents` table → CTE text
     * defining `sim(doc_id, sh)` (sh as UBIGINT; bit-identical to the Scala
     * signed long). */

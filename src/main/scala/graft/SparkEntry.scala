@@ -256,6 +256,13 @@ object SparkEntry {
       graft.multimodal.Pyramid.totalVariation(s)),
     // spatial sessionization / trajectory segmentation with exact-integer
     // per-segment path length
+    // bounded-hop SSSP (min-plus Bellman-Ford rounds), TWAP, dwell surface
+    "q173_sssp" -> ((s: SparkSession, d: String) =>
+      graft.ops.Sssp.boundedSssp(s, d)),
+    "q174_twap" -> ((s: SparkSession, d: String) =>
+      graft.ops.Sssp.twap(s, d)),
+    "q175_tile_occupancy" -> ((s: SparkSession, d: String) =>
+      graft.ops.Sssp.tileOccupancy(s, d)),
     // rendezvous sharding + resharding stability; longest-prefix-match join
     "q171_rendezvous" -> ((s: SparkSession, d: String) =>
       graft.ops.Sharding.rendezvous(s, d)),
@@ -1335,6 +1342,9 @@ object SparkEntry {
     "q170_blob_count" -> OracleSql.q170(1200, 150),
     "q171_rendezvous" -> OracleSql.q171(10),
     "q172_lpm_join" -> OracleSql.q172,
+    "q173_sssp" -> OracleSql.q173(6),
+    "q174_twap" -> OracleSql.q174,
+    "q175_tile_occupancy" -> OracleSql.q175,
     // both outer null sides hashed row-for-row
     "q100_outer_join" ->
       """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey, c.c_name,

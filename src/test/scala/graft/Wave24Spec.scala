@@ -333,4 +333,47 @@ class Wave24Spec extends AnyFunSuite {
     assert(got == expect.map { case (k, (s, c)) => (k, (s.size.toLong, c)) }.toMap)
     assert(got.nonEmpty)
   }
+
+  test("bounded sssp: equals a sequential Bellman-Ford on the same graph") {
+    val hops = 6
+    val got = graft.ops.Sssp.boundedSssp(spark, dir, hops).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = graft.Session.table(spark, dir, "events")
+      .select(col("user_id"), (col("event_id") * 1103515245L) % 1000L,
+        col("event_id") % 97L + 1L).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .groupBy(_._1).map { case ((s, t), ws) => (s, t, ws.map(_._2).min) }.toSeq
+    var dist = Map(0L -> 0L)
+    for (_ <- 1 to hops) {
+      val next = scala.collection.mutable.Map[Long, Long](dist.toSeq: _*)
+      edges.foreach { case (s, t, w) =>
+        dist.get(s).foreach { ds =>
+          if (!next.contains(t) || next(t) > ds + w) next(t) = ds + w
+        }
+      }
+      dist = next.toMap
+    }
+    assert(got == dist && got(0L) == 0L && got.size > 1)
+  }
+
+  test("twap: one user replayed; dwell surface conserves total elapsed time") {
+    val got = graft.ops.Sssp.twap(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    val ev = graft.Session.table(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")),
+        floor(col("value") * 100.0 + 0.5).cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val u0 = ev.map(_._1).min
+    val tl = ev.filter(_._1 == u0).sortBy(t => (t._3, t._2))
+    val steps = tl.zip(tl.tail).map { case (a, b) => (a._4, b._3 - a._3) }
+    val num = steps.map(s => s._1 * s._2).sum; val dur = steps.map(_._2).sum
+    assert(got(u0) == ((num, dur, num / dur)))
+    // conservation: Σ tile dwell == Σ per-user (last − first)
+    val dwell = graft.ops.Sssp.tileOccupancy(spark, dir).collect()
+      .map(_.getLong(2)).sum
+    val elapsed = ev.groupBy(_._1).values
+      .map(g => g.map(_._3).max - g.map(_._3).min).sum
+    assert(dwell == elapsed)
+  }
 }
