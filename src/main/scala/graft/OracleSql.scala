@@ -2143,6 +2143,40 @@ object OracleSql {
       |SELECT tx, ty, sum(next_us - us)::BIGINT AS dwell_us, count(*)::BIGINT AS n_intervals
       |FROM l WHERE next_us IS NOT NULL GROUP BY 1, 2""".stripMargin
 
+  /** Replica oracle for q176 (Lateness.watermarkAudit). */
+  def q176(lagUs: Long): String =
+    s"""WITH s AS (SELECT user_id, event_id,
+       |  (event_id * 2654435761) % 1099511627776 AS ak,
+       |  epoch_us(ts) AS us FROM events),
+       |h AS (SELECT *, max(us) OVER (PARTITION BY user_id ORDER BY ak, event_id
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm FROM s)
+       |SELECT user_id, count(*)::BIGINT AS n_total,
+       |  sum(CASE WHEN hwm IS NOT NULL AND us < hwm - $lagUs THEN 1 ELSE 0 END)::BIGINT AS n_late,
+       |  max(CASE WHEN hwm IS NOT NULL THEN greatest(hwm - us, 0) ELSE 0 END)::BIGINT AS max_disorder_us
+       |FROM h GROUP BY 1""".stripMargin
+
+  /** Replica oracle for q177 (Lateness.topNOthers). */
+  def q177(n: Int): String =
+    s"""WITH c AS (SELECT floor(fmod(value, 360.0) / 360.0 * 8.0)::BIGINT AS tile,
+       |  event_type, count(*)::BIGINT AS n FROM events GROUP BY 1, 2),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY tile ORDER BY n DESC, event_type) AS rk FROM c)
+       |SELECT tile, rk::INT AS rk, event_type AS bucket, n FROM r WHERE rk <= $n
+       |UNION ALL
+       |SELECT tile, ${n + 1} AS rk, 'OTHERS' AS bucket, sum(n)::BIGINT AS n
+       |FROM r WHERE rk > $n GROUP BY 1""".stripMargin
+
+  /** Replica oracle for q178 (Lateness.weightedMedian). */
+  def q178: String =
+    """WITH g AS (SELECT l_returnflag AS flag,
+      |  floor(l_extendedprice * 100.0 + 0.5)::BIGINT AS cents,
+      |  sum(floor(l_quantity + 0.5)::BIGINT) AS w
+      |FROM lineitem GROUP BY 1, 2),
+      |c AS (SELECT *, sum(w) OVER (PARTITION BY flag ORDER BY cents
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+      |  sum(w) OVER (PARTITION BY flag) AS tw FROM g)
+      |SELECT flag, min(cents)::BIGINT AS wmedian_cents, max(tw)::BIGINT AS total_w
+      |FROM c WHERE 2 * cw >= tw GROUP BY 1""".stripMargin
+
   /** graft.text.Dedup.simhash64 over the `documents` table → CTE text
     * defining `sim(doc_id, sh)` (sh as UBIGINT; bit-identical to the Scala
     * signed long). */

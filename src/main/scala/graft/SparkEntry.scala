@@ -256,6 +256,14 @@ object SparkEntry {
       graft.multimodal.Pyramid.totalVariation(s)),
     // spatial sessionization / trajectory segmentation with exact-integer
     // per-segment path length
+    // watermark drop accounting (streaming semantics, batch-gated),
+    // top-N + OTHERS rollup, exact weighted median
+    "q176_watermark_audit" -> ((s: SparkSession, d: String) =>
+      graft.ops.Lateness.watermarkAudit(s, d)),
+    "q177_topn_others" -> ((s: SparkSession, d: String) =>
+      graft.ops.Lateness.topNOthers(s, d)),
+    "q178_weighted_median" -> ((s: SparkSession, d: String) =>
+      graft.ops.Lateness.weightedMedian(s, d)),
     // bounded-hop SSSP (min-plus Bellman-Ford rounds), TWAP, dwell surface
     "q173_sssp" -> ((s: SparkSession, d: String) =>
       graft.ops.Sssp.boundedSssp(s, d)),
@@ -1345,6 +1353,9 @@ object SparkEntry {
     "q173_sssp" -> OracleSql.q173(6),
     "q174_twap" -> OracleSql.q174,
     "q175_tile_occupancy" -> OracleSql.q175,
+    "q176_watermark_audit" -> OracleSql.q176(43200000000L),
+    "q177_topn_others" -> OracleSql.q177(2),
+    "q178_weighted_median" -> OracleSql.q178,
     // both outer null sides hashed row-for-row
     "q100_outer_join" ->
       """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey, c.c_name,

@@ -376,4 +376,59 @@ class Wave24Spec extends AnyFunSuite {
       .map(g => g.map(_._3).max - g.map(_._3).min).sum
     assert(dwell == elapsed)
   }
+
+  test("watermark audit: sequential per-stream replay; zero lag drops all disorder") {
+    val lag = 43200000000L
+    val got = graft.ops.Lateness.watermarkAudit(spark, dir, lag).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val ev = graft.Session.table(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    ev.groupBy(_._1).foreach { case (u, rs) =>
+      val tl = rs.sortBy(r => ((r._2 * 2654435761L) % 1099511627776L, r._2)).map(_._3)
+      var hwm = Long.MinValue; var late = 0L; var dis = 0L
+      tl.foreach { us =>
+        if (hwm != Long.MinValue) {
+          if (us < hwm - lag) late += 1
+          dis = math.max(dis, math.max(hwm - us, 0L))
+        }
+        hwm = math.max(hwm, us)
+      }
+      assert(got(u) == ((tl.length.toLong, late, dis)), s"user $u")
+    }
+    // monotone in lag: lag 0 catches at least as many; a 40-day lag none
+    val all = graft.ops.Lateness.watermarkAudit(spark, dir, 0L).collect()
+      .map(r => r.getLong(2)).sum
+    assert(all >= got.values.map(_._2).sum && all > 0)
+    val none = graft.ops.Lateness.watermarkAudit(spark, dir, 3456000000000L)
+      .collect().map(r => r.getLong(2)).sum
+    assert(none == 0L)
+  }
+
+  test("top-n+others conserves totals; weighted median splits the weight") {
+    val rows = graft.ops.Lateness.topNOthers(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    val total = graft.Session.table(spark, dir, "events").count()
+    assert(rows.map(_._4).sum == total) // OTHERS conserves the tail
+    rows.groupBy(_._1).values.foreach { g =>
+      assert(g.length <= 3 && g.count(_._3 == "OTHERS") <= 1)
+      val top = g.filter(_._3 != "OTHERS").sortBy(_._2).map(_._4)
+      top.zip(top.tail).foreach { case (a, b) => assert(a >= b) } // rk1 >= rk2
+    }
+    val wm = graft.ops.Lateness.weightedMedian(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val li = graft.Session.table(spark, dir, "lineitem")
+      .select(col("l_returnflag"),
+        floor(col("l_extendedprice") * 100.0 + 0.5).cast("long"),
+        floor(col("l_quantity") + 0.5).cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    li.groupBy(_._1).foreach { case (f, rs) =>
+      val (m, tw) = wm(f)
+      assert(tw == rs.map(_._3).sum)
+      val below = rs.filter(_._2 < m).map(_._3).sum
+      val upto = rs.filter(_._2 <= m).map(_._3).sum
+      assert(2 * below < tw && 2 * upto >= tw, s"flag $f median $m")
+    }
+  }
 }
