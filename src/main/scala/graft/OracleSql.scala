@@ -2177,6 +2177,32 @@ object OracleSql {
       |SELECT flag, min(cents)::BIGINT AS wmedian_cents, max(tw)::BIGINT AS total_w
       |FROM c WHERE 2 * cw >= tw GROUP BY 1""".stripMargin
 
+  /** Replica oracle for q179 (Pyramid.equalizationLut): q158's closed-form
+    * histogram + the same per-image cumsum LUT. */
+  def q179(n: Long): String =
+    s"""WITH ${imageBlockCtes(n)},
+       |offm AS (SELECT 3 * (i % 8) + 4 * (i // 8) AS t, count(*)::BIGINT AS m
+       |         FROM range(0, 64) r(i) GROUP BY 1),
+       |hist AS (SELECT idx, (base + t)::INT AS value, sum(m)::BIGINT AS cnt
+       |         FROM blk, offm GROUP BY 1, 2),
+       |c AS (SELECT *, sum(cnt) OVER (PARTITION BY idx ORDER BY value
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cdf,
+       |      sum(cnt) OVER (PARTITION BY idx) AS npx FROM hist)
+       |SELECT idx::BIGINT AS idx, value, ((255 * cdf) // npx)::BIGINT AS lut
+       |FROM c""".stripMargin
+
+  /** Replica oracle for q180 (Outliers.zOutliers). */
+  def q180: String =
+    """WITH x AS (SELECT event_type, user_id, count(*)::BIGINT AS x
+      |FROM events GROUP BY 1, 2),
+      |st AS (SELECT event_type, count(*)::BIGINT AS n, sum(x)::BIGINT AS s,
+      |  sum(x * x)::BIGINT AS ss FROM x GROUP BY 1)
+      |SELECT x.event_type, x.user_id, x.x,
+      |  (CASE WHEN st.n * x.x - st.s > 0 THEN 1 ELSE -1 END)::INT AS side
+      |FROM x JOIN st ON x.event_type = st.event_type
+      |WHERE 4 * (st.n * x.x - st.s) * (st.n * x.x - st.s) >
+      |      25 * (st.n * st.ss - st.s * st.s)""".stripMargin
+
   /** graft.text.Dedup.simhash64 over the `documents` table → CTE text
     * defining `sim(doc_id, sh)` (sh as UBIGINT; bit-identical to the Scala
     * signed long). */

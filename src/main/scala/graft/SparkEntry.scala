@@ -256,6 +256,12 @@ object SparkEntry {
       graft.multimodal.Pyramid.totalVariation(s)),
     // spatial sessionization / trajectory segmentation with exact-integer
     // per-segment path length
+    // histogram-equalization LUT (composes the decode histogram)
+    "q179_equalization_lut" -> ((s: SparkSession, _: String) =>
+      graft.multimodal.Pyramid.equalizationLut(s)),
+    // exact z-score outliers (squared integer inequality, no sqrt)
+    "q180_z_outliers" -> ((s: SparkSession, d: String) =>
+      graft.ops.Outliers.zOutliers(s, d)),
     // watermark drop accounting (streaming semantics, batch-gated),
     // top-N + OTHERS rollup, exact weighted median
     "q176_watermark_audit" -> ((s: SparkSession, d: String) =>
@@ -1356,6 +1362,8 @@ object SparkEntry {
     "q176_watermark_audit" -> OracleSql.q176(43200000000L),
     "q177_topn_others" -> OracleSql.q177(2),
     "q178_weighted_median" -> OracleSql.q178,
+    "q179_equalization_lut" -> OracleSql.q179(1200),
+    "q180_z_outliers" -> OracleSql.q180,
     // both outer null sides hashed row-for-row
     "q100_outer_join" ->
       """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey, c.c_name,

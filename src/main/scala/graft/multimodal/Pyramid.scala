@@ -169,6 +169,25 @@ object Pyramid {
       }(Encoders.product[BlobRow])
       .toDF()
 
+  final case class LutRow(idx: Long, value: Int, lut: Long)
+
+  /** Gate query (q179): per-image histogram-equalization lookup table —
+    * lut(v) = (255·cdf(v)) div (w·h) over the decoded pixel histogram, the
+    * contrast-normalization step a vision pipeline applies before feature
+    * extraction. Composes q158's decode histogram with a per-image cumsum;
+    * exact integers end to end. */
+  def equalizationLut(spark: SparkSession, n: Long = 1200, parts: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = pixelHistogram(spark, n, parts)
+    val w = Window.partitionBy("idx").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy("idx")
+    hist.withColumn("cdf", sum(col("cnt")).over(w))
+      .withColumn("npx", sum(col("cnt")).over(tot))
+      .select(col("idx"), col("value"),
+        expr("(255 * cdf) div npx").as("lut"))
+  }
+
   final case class HistRow(idx: Long, value: Int, cnt: Long)
 
   /** Gate query (q158): per-PNG-image pixel-value histogram (nonzero bins

@@ -431,4 +431,41 @@ class Wave24Spec extends AnyFunSuite {
       assert(2 * below < tw && 2 * upto >= tw, s"flag $f median $m")
     }
   }
+
+  test("equalization lut: monotone 0..255, endpoints exact, cdf replayed") {
+    val lut = graft.multimodal.Pyramid.equalizationLut(spark, 60, 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val hist = graft.multimodal.Pyramid.pixelHistogram(spark, 60, 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byImg = hist.groupBy(_._1)
+    lut.groupBy(_._1).foreach { case (i, rs) =>
+      val sorted = rs.sortBy(_._2)
+      // monotone nondecreasing, max row maps to exactly 255
+      sorted.map(_._3).zip(sorted.map(_._3).tail).foreach { case (a, b) => assert(a <= b) }
+      assert(sorted.last._3 == 255L && sorted.head._3 >= 0L)
+      // replay one value's lut from the histogram
+      val h = byImg(i).sortBy(_._2)
+      val npx = h.map(_._3).sum
+      val v0 = sorted(sorted.length / 2)._2
+      val cdf = h.filter(_._2 <= v0).map(_._3).sum
+      assert(sorted.find(_._2 == v0).get._3 == 255L * cdf / npx)
+    }
+  }
+
+  test("z outliers: every emitted pair violates 2.5 sigma; none missed") {
+    val got = graft.ops.Outliers.zOutliers(spark, "/root/testdata/sf0.01").collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getInt(3)))).toMap
+    val ev = graft.Session.table(spark, "/root/testdata/sf0.01", "events")
+      .select("event_type", "user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val expect = ev.groupBy(_._1).flatMap { case (t, rs) =>
+      val xs = rs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val n = xs.size.toLong; val s = xs.values.sum
+      val ss = xs.values.map(v => v * v).sum
+      xs.collect { case (u, x) if 4 * (n * x - s) * (n * x - s) > 25 * (n * ss - s * s) =>
+        ((t, u), (x, if (n * x - s > 0) 1 else -1))
+      }
+    }.toMap
+    assert(got == expect && got.nonEmpty)
+  }
 }
