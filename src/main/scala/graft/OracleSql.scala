@@ -2203,6 +2203,28 @@ object OracleSql {
       |WHERE 4 * (st.n * x.x - st.s) * (st.n * x.x - st.s) >
       |      25 * (st.n * st.ss - st.s * st.s)""".stripMargin
 
+  /** Replica oracle for q181 (StarPip.containJoin): the identical wedge +
+    * edge-orientation integer arithmetic (prototype-verified against an
+    * independent integer ray-cast — 40,000/40,000 agree). */
+  def q181: String = {
+    val dirs = Array((1L, 0L), (1L, 1L), (0L, 1L), (-1L, 1L),
+      (-1L, 0L), (-1L, -1L), (0L, -1L), (1L, -1L))
+    def r(k: Int) = s"(100 + (pid*2654435761 + ${(k % 8) * 40503}) % 900)"
+    def x(k: Int) = s"(${dirs(k % 8)._1}*${r(k)})"
+    def y(k: Int) = s"(${dirs(k % 8)._2}*${r(k)})"
+    val inside = (0 until 8).map { k =>
+      val (d1x, d1y) = dirs(k); val (d2x, d2y) = dirs((k + 1) % 8)
+      s"""(($d1x*py - $d1y*px >= 0) AND (px*$d2y - py*$d2x > 0)
+         | AND ((${x(k + 1)}-${x(k)})*(py-${y(k)}) - (${y(k + 1)}-${y(k)})*(px-${x(k)}) > 0))""".stripMargin
+    }.mkString("(", "\n OR ", ")")
+    s"""WITH polys AS (SELECT o_orderkey AS pid FROM orders WHERE o_orderkey % 331 = 0),
+       |pts AS (SELECT event_id AS eid,
+       |  (event_id * 2654435761) % 2001 - 1000 AS px,
+       |  (event_id * 2246822519) % 2001 - 1000 AS py FROM events)
+       |SELECT pid, count(*)::BIGINT AS n_inside
+       |FROM polys, pts WHERE $inside GROUP BY 1""".stripMargin
+  }
+
   /** graft.text.Dedup.simhash64 over the `documents` table → CTE text
     * defining `sim(doc_id, sh)` (sh as UBIGINT; bit-identical to the Scala
     * signed long). */

@@ -256,6 +256,9 @@ object SparkEntry {
       graft.multimodal.Pyramid.totalVariation(s)),
     // spatial sessionization / trajectory segmentation with exact-integer
     // per-segment path length
+    // exact integer PIP join against the star-polygon family
+    "q181_star_pip" -> ((s: SparkSession, d: String) =>
+      graft.geo.StarPip.containJoin(s, d)),
     // histogram-equalization LUT (composes the decode histogram)
     "q179_equalization_lut" -> ((s: SparkSession, _: String) =>
       graft.multimodal.Pyramid.equalizationLut(s)),
@@ -1364,6 +1367,7 @@ object SparkEntry {
     "q178_weighted_median" -> OracleSql.q178,
     "q179_equalization_lut" -> OracleSql.q179(1200),
     "q180_z_outliers" -> OracleSql.q180,
+    "q181_star_pip" -> OracleSql.q181,
     // both outer null sides hashed row-for-row
     "q100_outer_join" ->
       """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey, c.c_name,

@@ -128,6 +128,40 @@ class Wave23Spec extends AnyFunSuite {
     }
   }
 
+  test("star pip: wedge containment equals an independent integer ray-cast") {
+    val dirs = Array((1L, 0L), (1L, 1L), (0L, 1L), (-1L, 1L),
+      (-1L, 0L), (-1L, -1L), (0L, -1L), (1L, -1L))
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.geo.StarPip.containJoin(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pids = graft.Session.table(spark, dir, "orders")
+      .select("o_orderkey").collect().map(_.getLong(0)).filter(_ % 331 == 0)
+    val pts = graft.Session.table(spark, dir, "events")
+      .select("event_id").collect().map(_.getLong(0))
+      .map(j => ((j * 2654435761L) % 2001L - 1000L, (j * 2246822519L) % 2001L - 1000L))
+    def poly(i: Long) = (0 until 8).map { k =>
+      val r = 100L + (i * 2654435761L + k * 40503L) % 900L
+      (dirs(k)._1 * r, dirs(k)._2 * r)
+    }
+    // crossing-number ray cast, half-open edge rule — a DIFFERENT algorithm
+    def raycast(p: IndexedSeq[(Long, Long)], px: Long, py: Long): Boolean = {
+      var cnt = 0
+      for (k <- 0 until 8) {
+        val (x1, y1) = p(k); val (x2, y2) = p((k + 1) % 8)
+        if ((y1 > py) != (y2 > py)) {
+          val t = (x1 - px) * (y2 - y1) + (py - y1) * (x2 - x1)
+          if ((t > 0) == (y2 > y1)) cnt += 1
+        }
+      }
+      cnt % 2 == 1
+    }
+    val expect = pids.map { pid =>
+      val p = poly(pid)
+      pid -> pts.count { case (px, py) => raycast(p, px, py) }.toLong
+    }.filter(_._2 > 0).toMap
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("polygon measures: shoelace replayed vertex-by-vertex on the driver") {
     val dirs = Array((1L, 0L), (1L, 1L), (0L, 1L), (-1L, 1L),
       (-1L, 0L), (-1L, -1L), (0L, -1L), (1L, -1L))
