@@ -42,6 +42,10 @@ object Sssp {
       dist = relaxed
       k += 1
     }
+    // the final dist checkpoint is materialized (eager), so the edge
+    // relation's blocks can be released before returning — the round-4
+    // ADVICE leak class (a stranded MEMORY_AND_DISK set per invocation)
+    CacheOps.freeLocalCheckpoint(edges)
     dist
   }
 
