@@ -2225,6 +2225,26 @@ object OracleSql {
        |FROM polys, pts WHERE $inside GROUP BY 1""".stripMargin
   }
 
+  /** Replica oracle for q182 (Drift.ksDrift). */
+  def q182: String =
+    """WITH vc AS (SELECT event_type, floor(value*100 + 0.5)::BIGINT AS cents,
+      |  sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)::BIGINT AS ca,
+      |  sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END)::BIGINT AS cb
+      |FROM events GROUP BY 1, 2),
+      |c AS (SELECT *, sum(ca) OVER w AS cuma, sum(cb) OVER w AS cumb,
+      |  sum(ca) OVER t AS na, sum(cb) OVER t AS nb
+      |FROM vc
+      |WINDOW w AS (PARTITION BY event_type ORDER BY cents
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |       t AS (PARTITION BY event_type)),
+      |d AS (SELECT *, abs(cuma * nb - cumb * na) AS dev FROM c),
+      |m AS (SELECT event_type, max(dev) AS mdev FROM d GROUP BY 1)
+      |SELECT d.event_type, max(d.na)::BIGINT AS na, max(d.nb)::BIGINT AS nb,
+      |  min(d.cents)::BIGINT AS ks_at_cents,
+      |  ((max(m.mdev) * 1000000) // (max(d.na) * max(d.nb)))::BIGINT AS ks_e6
+      |FROM d JOIN m ON d.event_type = m.event_type AND d.dev = m.mdev
+      |GROUP BY 1""".stripMargin
+
   /** graft.text.Dedup.simhash64 over the `documents` table → CTE text
     * defining `sim(doc_id, sh)` (sh as UBIGINT; bit-identical to the Scala
     * signed long). */

@@ -301,6 +301,9 @@ object SparkEntry {
     // inverse-distance-weighted surface: integer weights, one exchange
     "q167_idw_surface" -> ((s: SparkSession, d: String) =>
       graft.spatial.BoxJoin.idwSurface(s, d)),
+    // exact two-sample KS statistic (sup-norm drift, integer throughout)
+    "q182_ks_drift" -> ((s: SparkSession, d: String) =>
+      graft.ops.Drift.ksDrift(s, d)),
     // snapshot drift monitoring: exact total-variation distance per type
     "q163_tv_drift" -> ((s: SparkSession, d: String) =>
       graft.ops.Drift.tvDrift(s, d)),
@@ -1368,6 +1371,7 @@ object SparkEntry {
     "q179_equalization_lut" -> OracleSql.q179(1200),
     "q180_z_outliers" -> OracleSql.q180,
     "q181_star_pip" -> OracleSql.q181,
+    "q182_ks_drift" -> OracleSql.q182,
     // both outer null sides hashed row-for-row
     "q100_outer_join" ->
       """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey, c.c_name,

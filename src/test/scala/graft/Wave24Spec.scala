@@ -468,4 +468,26 @@ class Wave24Spec extends AnyFunSuite {
     }.toMap
     assert(got == expect && got.nonEmpty)
   }
+
+  test("ks drift: one type replayed sequentially over the sorted value domain") {
+    val got = graft.ops.Drift.ksDrift(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val rows = graft.Session.table(spark, dir, "events")
+      .where(col("event_type") === "view")
+      .select(floor(col("value") * 100.0 + 0.5).cast("long"),
+        (col("ts") < lit("2024-01-16").cast("timestamp")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val na = rows.count(_._2 == 1L).toLong; val nb = rows.length - na
+    val byV = rows.groupBy(_._1).toSeq.sortBy(_._1)
+    var (cuma, cumb, best, bestV) = (0L, 0L, -1L, -1L)
+    byV.foreach { case (v, g) =>
+      cuma += g.count(_._2 == 1L); cumb += g.count(_._2 == 0L)
+      val dev = math.abs(cuma * nb - cumb * na)
+      if (dev > best) { best = dev; bestV = v }
+    }
+    assert(got("view") == ((na, nb, bestV, best * 1000000L / (na * nb))))
+    // KS dominates TV/2 relationship isn't required, but KS <= 1e6 always
+    got.values.foreach { case (_, _, _, ks) => assert(ks >= 0 && ks <= 1000000L) }
+  }
 }
