@@ -2245,6 +2245,48 @@ object OracleSql {
       |FROM d JOIN m ON d.event_type = m.event_type AND d.dev = m.mdev
       |GROUP BY 1""".stripMargin
 
+  /** Replica oracle for q183 (Robust.groupedMode). */
+  def q183: String =
+    """WITH c AS (SELECT o_orderpriority AS grp,
+      |  floor(o_totalprice*100 + 0.5)::BIGINT AS cents, count(*)::BIGINT AS c
+      |FROM orders GROUP BY 1, 2),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY grp ORDER BY c DESC, cents ASC) AS rk,
+      |  sum(c) OVER (PARTITION BY grp) AS n FROM c)
+      |SELECT grp, cents AS mode_cents, c AS mode_n, n::BIGINT AS n FROM r WHERE rk = 1""".stripMargin
+
+  /** Replica oracle for q184 (Robust.tailShortfall). */
+  def q184: String =
+    """WITH g AS (SELECT o_orderpriority AS grp,
+      |  floor(o_totalprice*100 + 0.5)::BIGINT AS cents, count(*)::BIGINT AS c
+      |FROM orders GROUP BY 1, 2),
+      |d AS (SELECT *, sum(c) OVER (PARTITION BY grp ORDER BY cents DESC
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |  sum(c) OVER (PARTITION BY grp) AS n FROM g),
+      |t AS (SELECT *, (n + 19) // 20 AS k,
+      |  least(c, (n + 19) // 20 - (cum - c)) AS take
+      |FROM d WHERE cum - c < (n + 19) // 20)
+      |SELECT grp, max(k)::BIGINT AS tail_n, sum(take * cents)::BIGINT AS tail_sum,
+      |  (sum(take * cents) // max(k))::BIGINT AS es_cents
+      |FROM t GROUP BY 1""".stripMargin
+
+  /** Replica oracle for q185 (Robust.winsorized). */
+  def q185: String =
+    """WITH g AS (SELECT o_orderpriority AS grp,
+      |  floor(o_totalprice*100 + 0.5)::BIGINT AS cents, count(*)::BIGINT AS c
+      |FROM orders GROUP BY 1, 2),
+      |d AS (SELECT *, sum(c) OVER (PARTITION BY grp ORDER BY cents
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |  sum(c) OVER (PARTITION BY grp) AS n FROM g),
+      |b AS (SELECT grp,
+      |  min(CASE WHEN cum >= (n + 19) // 20 THEN cents END) AS p5,
+      |  min(CASE WHEN cum >= (19 * n + 19) // 20 THEN cents END) AS p95
+      |FROM d GROUP BY 1)
+      |SELECT g.grp, max(b.p5)::BIGINT AS p5, max(b.p95)::BIGINT AS p95,
+      |  sum(g.c * greatest(b.p5, least(b.p95, g.cents)))::BIGINT AS winsor_sum,
+      |  sum(CASE WHEN g.cents < b.p5 THEN g.c ELSE 0 END)::BIGINT AS n_lo,
+      |  sum(CASE WHEN g.cents > b.p95 THEN g.c ELSE 0 END)::BIGINT AS n_hi
+      |FROM g JOIN b ON g.grp = b.grp GROUP BY 1""".stripMargin
+
   /** graft.text.Dedup.simhash64 over the `documents` table → CTE text
     * defining `sim(doc_id, sh)` (sh as UBIGINT; bit-identical to the Scala
     * signed long). */

@@ -301,6 +301,13 @@ object SparkEntry {
     // inverse-distance-weighted surface: integer weights, one exchange
     "q167_idw_surface" -> ((s: SparkSession, d: String) =>
       graft.spatial.BoxJoin.idwSurface(s, d)),
+    // robust stats trio: grouped mode, tail expected shortfall, winsorized
+    "q183_grouped_mode" -> ((s: SparkSession, d: String) =>
+      graft.ops.Robust.groupedMode(s, d)),
+    "q184_tail_shortfall" -> ((s: SparkSession, d: String) =>
+      graft.ops.Robust.tailShortfall(s, d)),
+    "q185_winsorized" -> ((s: SparkSession, d: String) =>
+      graft.ops.Robust.winsorized(s, d)),
     // exact two-sample KS statistic (sup-norm drift, integer throughout)
     "q182_ks_drift" -> ((s: SparkSession, d: String) =>
       graft.ops.Drift.ksDrift(s, d)),
@@ -1372,6 +1379,9 @@ object SparkEntry {
     "q180_z_outliers" -> OracleSql.q180,
     "q181_star_pip" -> OracleSql.q181,
     "q182_ks_drift" -> OracleSql.q182,
+    "q183_grouped_mode" -> OracleSql.q183,
+    "q184_tail_shortfall" -> OracleSql.q184,
+    "q185_winsorized" -> OracleSql.q185,
     // both outer null sides hashed row-for-row
     "q100_outer_join" ->
       """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey, c.c_name,

@@ -490,4 +490,35 @@ class Wave24Spec extends AnyFunSuite {
     // KS dominates TV/2 relationship isn't required, but KS <= 1e6 always
     got.values.foreach { case (_, _, _, ks) => assert(ks >= 0 && ks <= 1000000L) }
   }
+
+  test("robust trio: mode, shortfall, winsorized replayed per group") {
+    val cents = graft.Session.table(spark, dir, "orders")
+      .select(col("o_orderpriority"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted).toMap
+    val mode = graft.ops.Robust.groupedMode(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val es = graft.ops.Robust.tailShortfall(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val win = graft.ops.Robust.winsorized(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    cents.foreach { case (g, vs) =>
+      val n = vs.length
+      // mode: max count, smallest value on ties
+      val freq = vs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val best = freq.toSeq.sortBy(t => (-t._2, t._1)).head
+      assert(mode(g) == ((best._1, best._2)), s"mode $g")
+      // shortfall: mean of the top ceil(n/20) values
+      val k = (n + 19) / 20
+      val tail = vs.takeRight(k)
+      assert(es(g) == ((k.toLong, tail.sum, tail.sum / k)), s"es $g")
+      // winsorize: clamp to nearest-rank p5/p95, exact sums
+      val p5 = vs((n + 19) / 20 - 1); val p95 = vs((19 * n + 19) / 20 - 1)
+      val wsum = vs.map(v => math.max(p5, math.min(p95, v))).sum
+      val nLo = vs.count(_ < p5).toLong; val nHi = vs.count(_ > p95).toLong
+      assert(win(g) == ((p5, p95, wsum, nLo, nHi)), s"winsor $g")
+    }
+  }
 }
