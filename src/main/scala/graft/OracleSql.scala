@@ -2287,6 +2287,30 @@ object OracleSql {
       |  sum(CASE WHEN g.cents > b.p95 THEN g.c ELSE 0 END)::BIGINT AS n_hi
       |FROM g JOIN b ON g.grp = b.grp GROUP BY 1""".stripMargin
 
+  /** Replica oracle for q186 (NearestAsof.nearestJoin): the identical
+    * merged-stream double-window (ascending running max of view time,
+    * descending running min), same tie rule (earlier side wins). */
+  def q186: String =
+    """WITH m AS (SELECT user_id, event_id AS eid, epoch_us(ts) AS us,
+      |  (event_type = 'view') AS is_view
+      |FROM events WHERE event_type IN ('purchase', 'view')),
+      |c AS (SELECT *,
+      |  max(CASE WHEN is_view THEN us END) OVER (PARTITION BY user_id
+      |    ORDER BY us, eid ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+      |  min(CASE WHEN is_view THEN us END) OVER (PARTITION BY user_id
+      |    ORDER BY us DESC, eid DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS next_v
+      |FROM m),
+      |p AS (SELECT user_id, eid AS purchase_eid, us,
+      |  CASE WHEN prev_v IS NULL THEN next_v
+      |       WHEN next_v IS NULL THEN prev_v
+      |       WHEN us - prev_v <= next_v - us THEN prev_v
+      |       ELSE next_v END AS nearest_us
+      |FROM c WHERE NOT is_view AND (prev_v IS NOT NULL OR next_v IS NOT NULL))
+      |SELECT user_id, purchase_eid, nearest_us,
+      |  abs(us - nearest_us)::BIGINT AS delta_us,
+      |  (CASE WHEN nearest_us <= us THEN -1 ELSE 1 END)::INT AS dir
+      |FROM p""".stripMargin
+
   /** graft.text.Dedup.simhash64 over the `documents` table → CTE text
     * defining `sim(doc_id, sh)` (sh as UBIGINT; bit-identical to the Scala
     * signed long). */

@@ -301,6 +301,9 @@ object SparkEntry {
     // inverse-distance-weighted surface: integer weights, one exchange
     "q167_idw_surface" -> ((s: SparkSession, d: String) =>
       graft.spatial.BoxJoin.idwSurface(s, d)),
+    // nearest (bidirectional) as-of join via the merged-stream double window
+    "q186_nearest_asof" -> ((s: SparkSession, d: String) =>
+      graft.ops.NearestAsof.nearestJoin(s, d)),
     // robust stats trio: grouped mode, tail expected shortfall, winsorized
     "q183_grouped_mode" -> ((s: SparkSession, d: String) =>
       graft.ops.Robust.groupedMode(s, d)),
@@ -1382,6 +1385,7 @@ object SparkEntry {
     "q183_grouped_mode" -> OracleSql.q183,
     "q184_tail_shortfall" -> OracleSql.q184,
     "q185_winsorized" -> OracleSql.q185,
+    "q186_nearest_asof" -> OracleSql.q186,
     // both outer null sides hashed row-for-row
     "q100_outer_join" ->
       """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey, c.c_name,

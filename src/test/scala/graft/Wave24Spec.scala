@@ -521,4 +521,27 @@ class Wave24Spec extends AnyFunSuite {
       assert(win(g) == ((p5, p95, wsum, nLo, nHi)), s"winsor $g")
     }
   }
+
+  test("nearest asof: brute-force nearest view per purchase, earlier on ties") {
+    val got = graft.ops.NearestAsof.nearestJoin(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getInt(4)))
+      .toMap
+    val ev = graft.Session.table(spark, dir, "events")
+      .where(col("event_type").isin("purchase", "view"))
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val expect = ev.groupBy(_._1).toSeq.flatMap { case (u, rs) =>
+      val views = rs.filter(_._4 == "view").map(_._3)
+      rs.toSeq.filter(_._4 == "purchase").flatMap { case (_, eid, us, _) =>
+        if (views.isEmpty) None
+        else {
+          // nearest by |delta|; ties -> the earlier (<= us) side
+          val best = views.minBy(v => (math.abs(v - us), v > us))
+          Some(((u, eid), (best, math.abs(us - best), if (best <= us) -1 else 1)))
+        }
+      }
+    }.toMap
+    assert(got == expect && got.nonEmpty)
+  }
 }
