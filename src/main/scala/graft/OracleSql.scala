@@ -1053,6 +1053,26 @@ object OracleSql {
        |  (SELECT p AS node FROM tri UNION ALL SELECT x FROM tri UNION ALL SELECT y FROM tri)
        |GROUP BY 1""".stripMargin
 
+  /** Replica oracle for q187 (Graph.clusteringCoeff): q108's triangle
+    * replay + the exact e6 wedge ratio, zero-triangle d≥2 nodes kept. */
+  def q187(n: Int, m: Int): String =
+    s"""WITH ${graphCtes(n, m)},
+       |deg AS (SELECT node, count(*)::BIGINT AS d FROM
+       |        (SELECT a AS node FROM uedges UNION ALL SELECT b FROM uedges) GROUP BY 1),
+       |o AS (SELECT CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.a ELSE e.b END AS lo,
+       |             CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.b ELSE e.a END AS hi
+       |      FROM uedges e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b),
+       |w AS (SELECT o1.lo AS p, o1.hi AS x, o2.hi AS y
+       |      FROM o o1 JOIN o o2 ON o1.lo = o2.lo AND o1.hi < o2.hi),
+       |tri AS (SELECT w.p, w.x, w.y FROM w
+       |        JOIN uedges e ON e.a = least(w.x, w.y) AND e.b = greatest(w.x, w.y)),
+       |tc AS (SELECT node, count(*)::BIGINT AS tri_count FROM
+       |  (SELECT p AS node FROM tri UNION ALL SELECT x FROM tri UNION ALL SELECT y FROM tri)
+       |GROUP BY 1)
+       |SELECT deg.node, deg.d, coalesce(tc.tri_count, 0)::BIGINT AS tri_count,
+       |  ((2 * coalesce(tc.tri_count, 0) * 1000000) // (deg.d * (deg.d - 1)))::BIGINT AS coeff_e6
+       |FROM deg LEFT JOIN tc ON tc.node = deg.node WHERE deg.d >= 2""".stripMargin
+
   /** Replica oracle for q109 (Graph.pageRank): the exact-integer recurrence
     * unrolled as one CTE per iteration (DuckDB recursive CTEs disallow the
     * aggregate in the recursive term) — every rank replays digit-for-digit

@@ -301,6 +301,9 @@ object SparkEntry {
     // inverse-distance-weighted surface: integer weights, one exchange
     "q167_idw_surface" -> ((s: SparkSession, d: String) =>
       graft.spatial.BoxJoin.idwSurface(s, d)),
+    // local clustering coefficient (triangles over wedges, exact e6)
+    "q187_clustering_coeff" -> ((s: SparkSession, _: String) =>
+      graft.ops.Graph.clusteringCoeff(s)),
     // nearest (bidirectional) as-of join via the merged-stream double window
     "q186_nearest_asof" -> ((s: SparkSession, d: String) =>
       graft.ops.NearestAsof.nearestJoin(s, d)),
@@ -1386,6 +1389,7 @@ object SparkEntry {
     "q184_tail_shortfall" -> OracleSql.q184,
     "q185_winsorized" -> OracleSql.q185,
     "q186_nearest_asof" -> OracleSql.q186,
+    "q187_clustering_coeff" -> OracleSql.q187(250, 1500),
     // both outer null sides hashed row-for-row
     "q100_outer_join" ->
       """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey, c.c_name,

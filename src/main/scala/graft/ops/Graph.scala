@@ -66,6 +66,27 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("tri_count"))
   }
 
+  /** Gate query (q187) — local clustering coefficient per node: the
+    * triangles-at-node over the wedges-at-node as an exact e6 rational,
+    * coeff_e6 = (2·t·10⁶) div (d·(d−1)) over the deduped undirected graph.
+    * Composes [[triangleCounts]] (degree-oriented enumeration) with the
+    * degree relation via a LEFT join, so zero-triangle nodes keep their
+    * row (coeff 0) — only d ≥ 2 nodes can close a wedge and d < 2 nodes
+    * are excluded (coefficient undefined). */
+  def clusteringCoeff(spark: SparkSession, n: Int = 250, m: Int = 1500): DataFrame = {
+    val uedges = synthDraws(spark, n, m)
+      .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
+      .distinct()
+    val deg = uedges.select(col("a").as("node"))
+      .unionByName(uedges.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    deg.where(col("d") >= 2)
+      .join(triangleCounts(spark, n, m), Seq("node"), "left")
+      .na.fill(0L, Seq("tri_count"))
+      .select(col("node"), col("d"), col("tri_count"),
+        expr("(2 * tri_count * 1000000) div (d * (d - 1))").as("coeff_e6"))
+  }
+
   /** Exact-integer PageRank, `iters` fixed rounds over the directed synth
     * graph: r_{t+1}(v) = floor(0.15·R0) + Σ_{u→v} floor(0.85·r_t(u) /
     * outdeg(u)), all arithmetic in BIGINT (85·r // (100·od)) so per-node

@@ -544,4 +544,24 @@ class Wave24Spec extends AnyFunSuite {
     }.toMap
     assert(got == expect && got.nonEmpty)
   }
+
+  test("clustering coefficient: neighbor-set intersection replay, bounded") {
+    val got = graft.ops.Graph.clusteringCoeff(spark).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val edges = graft.ops.Graph.synthDraws(spark, 250, 1500).collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)))).distinct
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    edges.foreach { case (a, b) => adj(a) = adj(a) + b; adj(b) = adj(b) + a }
+    val expect = adj.collect { case (v, ns) if ns.size >= 2 =>
+      // triangles at v = edges among v's neighbors (a different algorithm
+      // family from the engine's degree-oriented wedge enumeration)
+      val t = ns.toSeq.combinations(2)
+        .count(p => adj(p(0)).contains(p(1))).toLong
+      v -> (ns.size.toLong, t, 2 * t * 1000000L / (ns.size.toLong * (ns.size - 1)))
+    }.toMap
+    assert(got == expect && got.nonEmpty)
+    got.values.foreach { case (_, _, c) => assert(c >= 0 && c <= 1000000L) }
+  }
 }
