@@ -2331,6 +2331,25 @@ object OracleSql {
       |  (CASE WHEN nearest_us <= us THEN -1 ELSE 1 END)::INT AS dir
       |FROM p""".stripMargin
 
+  /** Replica oracle for q188 (Changepoint.autocorr). */
+  def q188: String =
+    """WITH daily AS (SELECT event_type,
+      |  (ts::DATE - DATE '2024-01-01')::BIGINT AS day, count(*)::BIGINT AS x
+      |FROM events GROUP BY 1, 2),
+      |p AS (SELECT a.event_type, l.lag, a.x, b.x AS y
+      |FROM daily a, (VALUES (1), (7)) l(lag)
+      |JOIN daily b ON b.event_type = a.event_type AND b.day = a.day + l.lag),
+      |m AS (SELECT event_type, lag, count(*)::BIGINT AS n,
+      |  sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+      |  sum(x*x)::BIGINT AS sxx, sum(y*y)::BIGINT AS syy, sum(x*y)::BIGINT AS sxy
+      |FROM p GROUP BY 1, 2)
+      |SELECT event_type, lag::BIGINT AS lag, n,
+      |  (n * sxy - sx * sy)::BIGINT AS cov_n,
+      |  floor((n * sxy - sx * sy)::DOUBLE * 1000000.0 /
+      |    (sqrt((n * sxx - sx * sx)::DOUBLE) * sqrt((n * syy - sy * sy)::DOUBLE))
+      |    + 0.5)::BIGINT AS ac_e6
+      |FROM m""".stripMargin
+
   /** graft.text.Dedup.simhash64 over the `documents` table → CTE text
     * defining `sim(doc_id, sh)` (sh as UBIGINT; bit-identical to the Scala
     * signed long). */

@@ -301,6 +301,9 @@ object SparkEntry {
     // inverse-distance-weighted surface: integer weights, one exchange
     "q167_idw_surface" -> ((s: SparkSession, d: String) =>
       graft.spatial.BoxJoin.idwSurface(s, d)),
+    // lag-1/lag-7 autocorrelation of daily counts (q166 FP discipline)
+    "q188_autocorr" -> ((s: SparkSession, d: String) =>
+      graft.ops.Changepoint.autocorr(s, d)),
     // local clustering coefficient (triangles over wedges, exact e6)
     "q187_clustering_coeff" -> ((s: SparkSession, _: String) =>
       graft.ops.Graph.clusteringCoeff(s)),
@@ -1390,6 +1393,7 @@ object SparkEntry {
     "q185_winsorized" -> OracleSql.q185,
     "q186_nearest_asof" -> OracleSql.q186,
     "q187_clustering_coeff" -> OracleSql.q187(250, 1500),
+    "q188_autocorr" -> OracleSql.q188,
     // both outer null sides hashed row-for-row
     "q100_outer_join" ->
       """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey, c.c_name,

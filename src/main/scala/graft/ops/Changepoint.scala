@@ -40,6 +40,40 @@ object Changepoint {
         max(col("nd")).as("nd"))
   }
 
+  /** Gate query (q188) — lag-k autocorrelation of the daily count series
+    * per event_type (k = 1 and 7: day-over-day persistence and weekly
+    * seasonality — the two numbers a forecasting pipeline checks first).
+    * Pearson over the (x_t, x_{t+k}) pair relation with q166's discipline:
+    * integer moments, n-scaled covariance/variances exact, FP only in the
+    * final floor(·10⁶/(√·√)+0.5). Pairs come from a lead window over the
+    * tiny daily rollup — consecutive CALENDAR days (day+k present), gaps
+    * drop the pair rather than spanning them. */
+  def autocorr(spark: SparkSession, dir: String): DataFrame = {
+    val daily = table(spark, dir, "events")
+      .select(col("event_type"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+          .cast("long").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("x"))
+    val right = daily.select(col("event_type").as("retype"),
+      col("day").as("rday"), col("x").as("y"))
+    val lags = Seq(1L, 7L)
+    import daily.sparkSession.implicits._
+    val lagDf = lags.toDF("lag")
+    daily.crossJoin(broadcast(lagDf))
+      .join(right, col("retype") === col("event_type") &&
+        col("rday") === col("day") + col("lag"))
+      .groupBy("event_type", "lag")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("event_type"), col("lag"), col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("cov_n"),
+        floor((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") * 1000000.0 /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+           sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+          + 0.5).cast("long").as("ac_e6"))
+  }
+
   /** Gate query (q169) — exact Spearman rank correlation between line price
     * and quantity: doubled mid-ranks (2·below + at + 1, the q160 tie
     * treatment) centered by their exact integer mean (n+1), so the

@@ -564,4 +564,33 @@ class Wave24Spec extends AnyFunSuite {
     assert(got == expect && got.nonEmpty)
     got.values.foreach { case (_, _, c) => assert(c >= 0 && c <= 1000000L) }
   }
+
+  test("autocorr: lag pairs replayed; bounded by 1e6") {
+    val got = graft.ops.Changepoint.autocorr(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val daily = graft.Session.table(spark, dir, "events")
+      .select(col("event_type"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong)
+      .map { case ((t, d), c) => (t, d, c) }.toSeq
+    daily.groupBy(_._1).foreach { case (t, rs) =>
+      val m = rs.map(r => r._2 -> r._3).toMap
+      for (lag <- Seq(1L, 7L)) {
+        val pairs = m.toSeq.collect { case (d, x) if m.contains(d + lag) => (x, m(d + lag)) }
+        val n = pairs.length.toLong
+        val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+        val sxy = pairs.map(p => p._1 * p._2).sum
+        val sxx = pairs.map(p => p._1 * p._1).sum
+        val syy = pairs.map(p => p._2 * p._2).sum
+        val covN = n * sxy - sx * sy
+        val ac = math.floor(covN.toDouble * 1000000.0 /
+          (math.sqrt((n * sxx - sx * sx).toDouble) *
+           math.sqrt((n * syy - sy * sy).toDouble)) + 0.5).toLong
+        assert(got((t, lag)) == ((n, covN, ac)), s"autocorr $t lag $lag")
+        assert(math.abs(ac) <= 1000000L)
+      }
+    }
+  }
 }
