@@ -20,8 +20,12 @@ object Baskets {
 
   /** Gate query (q161): item pairs with support ≥ minSup, plus exact lift. */
   def pairRules(spark: SparkSession, dir: String, minSup: Long = 3L): DataFrame = {
+    // the distinct basket relation has FOUR consumers (item counts, order
+    // total, both sides of the pair self-join) — materialize its scan +
+    // distinct exchange once (guide §2.4), not once per consumer
     val b = table(spark, dir, "lineitem")
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      .localCheckpoint()
     val item = b.groupBy(col("p")).agg(count(lit(1)).as("cnt"))
     val nOrders = b.select(countDistinct(col("o")).as("n_orders"))
     val right = b.select(col("o"), col("p").as("pb"))

@@ -20,10 +20,21 @@ object Graph {
   private def draw(i: Column, n: Int): Column =
     (SeedExprs.mix64(i).bitwiseAND(lit(0x7FFFFFFFL)) % n).cast("long")
 
+  /** Partition count for an n-row synthetic range, derived from the INPUT
+    * SIZE (guide §2: scale-adaptive partitioning, never a constant): one
+    * slice per 64k ids, capped at the session parallelism. A tiny fixture
+    * graph gets 1 slice instead of `defaultParallelism` near-empty tasks —
+    * the 250-node gate graph otherwise paid 32 tasks × ~20 ms scheduling
+    * per stage × ~60 stages ≈ 30+ s of pure task overhead per run — while
+    * a 10^9-row range still fans out to every core. */
+  private[ops] def slicesFor(spark: SparkSession, n: Long): Int =
+    math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
+      n / 65536L)).toInt
+
   /** The synthetic edge draws: (u, v) per draw id, self-loops dropped.
     * Duplicate draws survive here; undirected/directed dedup is per-op. */
   def synthDraws(spark: SparkSession, n: Int, m: Int): DataFrame =
-    spark.range(0, m.toLong)
+    spark.range(0L, m.toLong, 1L, slicesFor(spark, m.toLong))
       .select(draw(col("id") * 2, n).as("u"), draw(col("id") * 2 + 1, n).as("v"))
       .where(col("u") =!= col("v"))
 
@@ -105,7 +116,8 @@ object Graph {
     val edgesOd = dedges.join(outdeg, "u").localCheckpoint()
     val r0 = BigInt(10).pow(12) / n
     val base = BigInt(15) * BigInt(10).pow(12) / (BigInt(100) * n)
-    val nodes = spark.range(0, n.toLong).select(col("id").as("node"))
+    val nodes = spark.range(0L, n.toLong, 1L, slicesFor(spark, n.toLong))
+      .select(col("id").as("node"))
     var ranks = nodes.withColumn("r", lit(r0.toLong)).localCheckpoint()
     for (_ <- 1 to iters) {
       val contrib = edgesOd.join(ranks, edgesOd("u") === ranks("node"))
@@ -136,12 +148,15 @@ object Graph {
     * CTE walk (sequential chase — different algorithm family). */
   def treeDepths(spark: SparkSession, n: Int = 2000,
                  maxRounds: Int = 64): DataFrame = {
-    val t = spark.range(0, n.toLong).select(col("id").as("node"),
+    val t = spark.range(0L, n.toLong, 1L, slicesFor(spark, n.toLong))
+      .select(col("id").as("node"),
       when(col("id") === 0, 0L)
         .otherwise(SeedExprs.mix64(col("id") + 61453L)
           .bitwiseAND(lit(Long.MaxValue)) % col("id")).as("parent"))
+    // lazy checkpoint + count: the convergence count is the action that
+    // materializes the round's checkpoint — one job per round, not two
     var state = t.select(col("node"), col("parent").as("anc"),
-      when(col("node") === 0, 0L).otherwise(1L).as("d")).localCheckpoint()
+      when(col("node") === 0, 0L).otherwise(1L).as("d")).localCheckpoint(false)
     var pending = state.where(col("anc") =!= 0).count()
     var rounds = 0
     while (pending > 0 && rounds < maxRounds) {
@@ -150,7 +165,7 @@ object Graph {
       val next = state.join(lookup, col("anc") === col("lnode"))
         .select(col("node"), col("lanc").as("anc"),
           (col("d") + col("ld")).as("d"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       pending = next.where(col("anc") =!= 0).count()
       graft.CacheOps.freeLocalCheckpoint(state)
       state = next
@@ -175,9 +190,11 @@ object Graph {
     * core-subgraph degree. */
   def kCore(spark: SparkSession, n: Int = 250, m: Int = 1500, k: Int = 8,
             maxRounds: Int = 64): DataFrame = {
+    // lazy checkpoint + count: the convergence count is the action that
+    // materializes the round's checkpoint — one job per round, not two
     var edges = synthDraws(spark, n, m)
       .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(false)
     var cnt = edges.count()
     var rounds = 0
     var converged = false
@@ -189,7 +206,7 @@ object Graph {
       val next = edges
         .join(surv.withColumnRenamed("node", "a"), "a")
         .join(surv.withColumnRenamed("node", "b"), "b")
-        .select("a", "b").localCheckpoint()
+        .select("a", "b").localCheckpoint(false)
       val nextCnt = next.count()
       graft.CacheOps.freeLocalCheckpoint(edges)
       edges = next

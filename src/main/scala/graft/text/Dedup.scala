@@ -136,22 +136,36 @@ object Dedup {
                  w: Int = 3, threshold: Double = 0.5, maxBucket: Int = 64): DataFrame = {
     import spark.implicits._
     val kk = k; val ww = w
-    // one pass: doc -> (id, signature, distinct shingle hashes)
+    // one pass: doc -> (id, signature, distinct shingle hashes),
+    // localCheckpoint'ed ONCE because THREE consumers read it (banding, and
+    // both sides of the exact-verify join) — without it the scan + shingling
+    // subtree re-executed per consumer (guide §2.4: shared subtrees should
+    // share one materialization, not recompute). No fan-out repartition: the
+    // shingling cost scales with the corpus scan's own split count, and
+    // measured at sf0.1 a blanket defaultParallelism fan-out ADDED ~20 s of
+    // near-empty-task overhead across the dedup family's downstream stages.
     val signed = table(spark, dir, "documents")
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
           val shs = shingleHashes(text, ww)
           (id, minhashSigFromHashes(shs, kk), shs)
         }
       }.toDF("doc_id", "sig", "shs")
+      .localCheckpoint()
     val cand = minhashCandidates(signed, bands, k / bands, maxBucket)
-    // exact verification: intersect candidate pairs' shingle-hash sets
+    // exact verification: intersect candidate pairs' shingle-hash sets.
+    // Explicit broadcast hints: `signed` is a localCheckpoint (no size
+    // statistics on its LogicalRDD), so without them the planner shuffle-
+    // joins what round 5's parquet-stats-driven plan broadcast — the tiny
+    // candidate list, and the exploded hash relation on the verify side.
     val ex = signed.select(col("doc_id"), size(col("shs")).as("n_sh"),
       explode(col("shs")).as("gh"))
     val inter = ex.as("l")
-      .join(cand, col("l.doc_id") === col("a"))
-      .join(ex.as("r"), col("r.doc_id") === col("b") && col("l.gh") === col("r.gh"))
+      .join(broadcast(cand), col("l.doc_id") === col("a"))
+      .join(broadcast(ex.as("r")),
+        col("r.doc_id") === col("b") && col("l.gh") === col("r.gh"))
       .groupBy(col("a"), col("b"), col("l.n_sh").as("na"), col("r.n_sh").as("nb"))
       .agg(count(lit(1)).as("common"))
     inter
@@ -190,13 +204,19 @@ object Dedup {
     * group. Shared by minhash bands, simhash segments (shape-specialized
     * there for the fingerprint columns) and the ANN cosine LSH tier. */
   def boundedPairs(banded: DataFrame, maxBucket: Int): DataFrame = {
+    // broadcast hints: `banded` often derives from a localCheckpoint'ed
+    // signature frame (no size statistics on its LogicalRDD), and the
+    // bucket-size rollup / bucket self-join sides are small by construction
+    // (one row per (band, bucket) resp. per member) — without the hints the
+    // planner falls back to shuffle joins for what parquet statistics let
+    // it broadcast in round 5
     val sized = banded.join(
-      banded.groupBy(col("band"), col("bucket"))
+      broadcast(banded.groupBy(col("band"), col("bucket"))
         .agg(count(lit(1)).as("bn"),
-          min(col("doc_id")).as("hub_lo"), max(col("doc_id")).as("hub_hi")),
+          min(col("doc_id")).as("hub_lo"), max(col("doc_id")).as("hub_hi"))),
       Seq("band", "bucket"))
     val small = sized.filter(col("bn") <= maxBucket)
-    val pairwise = small.as("l").join(small.as("r"),
+    val pairwise = small.as("l").join(broadcast(small.as("r")),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
@@ -470,8 +490,9 @@ object Dedup {
         .unionByName(edges.select(col("hi").as("u"), col("lo").as("v")))
       val mins = adj.groupBy(col("u")).agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
+      // lazy: materialized by ss's eager checkpoint below — one job/round
       val ls = adj.join(mins, Seq("u")).filter(col("v") > col("u"))
-        .select(col("m").as("lo"), col("v").as("hi")).distinct().localCheckpoint()
+        .select(col("m").as("lo"), col("v").as("hi")).distinct().localCheckpoint(false)
       // SMALL-STAR over the large-star output: direct each edge to its
       // larger endpoint u with smaller neighbor set N(u); m = min(N(u));
       // emit (m, v) for v ∈ N(u) ∪ {u}, v ≠ m (m < v keeps it canonical)
@@ -482,10 +503,12 @@ object Dedup {
         .unionByName(mins2.select(col("mn").as("lo"), col("u").as("hi")))
         .distinct().localCheckpoint()
       graft.CacheOps.freeLocalCheckpoint(ls)
-      // fixpoint test: edge sets equal (both directions of except; each is
-      // one action — this is the non-gated variant, so the two-action probe
-      // is acceptable where dupComponents uses its in-job accumulator)
-      converged = ss.exceptAll(edges).isEmpty && edges.exceptAll(ss).isEmpty
+      // fixpoint test: edge sets equal — BOTH exceptAll directions unioned
+      // into one relation probed with a single isEmpty action (the round-5
+      // shape ran two actions per round; dupComponents' in-job accumulator
+      // remains the one-action ideal, but an empty-union probe halves the
+      // per-round job count here at zero semantic risk)
+      converged = ss.exceptAll(edges).unionByName(edges.exceptAll(ss)).isEmpty
       graft.CacheOps.freeLocalCheckpoint(edges)
       edges = ss
       rounds += 1
@@ -516,6 +539,9 @@ object Dedup {
     // strings (the q27 string-free pattern). The gate oracle still joins on
     // STRING shingles — an independent representation that would catch a
     // 64-bit collision, not inherit it.
+    // the df-capped (doc, shingle, n_sh) relation feeds BOTH sides of the
+    // intersection self-join — materialize it once (guide §2.4) instead of
+    // re-executing scan → shingle → df-cap → size join per side
     val d = table(spark, dir, "documents")
       .select(col("doc_id"), col("source"), col("text"))
       .as[(Long, String, String)]
@@ -528,8 +554,11 @@ object Dedup {
       .filter(col("df") <= maxDf).select(col("g"))
     val exc = ex.join(dfok, Seq("g"))
     val n = exc.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val exn = exc.join(n, Seq("doc_id"))
-    val inter = exn.as("l").join(exn.as("r"),
+    // broadcast hint on the build side: exn is a localCheckpoint (no size
+    // statistics), and without it the planner shuffle-joins what the
+    // parquet-stats-driven round-5 plan broadcast
+    val exn = exc.join(n, Seq("doc_id")).localCheckpoint()
+    val inter = exn.as("l").join(broadcast(exn.as("r")),
         col("l.source") === col("r.source") && col("l.g") === col("r.g") &&
           col("l.doc_id") < col("r.doc_id"))
       .groupBy(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
@@ -628,6 +657,8 @@ object Dedup {
   def spanDup(spark: SparkSession, dir: String, k: Int = 12, maxDf: Int = 64): DataFrame = {
     import spark.implicits._
     val kk = k
+    // the df-capped (doc, span-hash) relation feeds BOTH sides of the
+    // self-join — one materialization (guide §2.4), not a re-execution per side
     val d = table(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
@@ -638,8 +669,10 @@ object Dedup {
     // one partitioning end to end
     val dfok = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select(col("g"))
-    val exc = ex.join(dfok, Seq("g"))
-    exc.as("l").join(exc.as("r"),
+    // broadcast hint on the build side: exc is a localCheckpoint (no size
+    // statistics) — see ngramJaccard
+    val exc = ex.join(dfok, Seq("g")).localCheckpoint()
+    exc.as("l").join(broadcast(exc.as("r")),
         col("l.g") === col("r.g") && col("l.doc_id") < col("r.doc_id"))
       .groupBy(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
       .agg(count(lit(1)).as("n_spans"))

@@ -289,6 +289,8 @@ object TextOps {
     * never reshuffled — the model-scoring shape (train → broadcast →
     * map-side score) every quality-filter pipeline at scale uses. */
   def bigramLm(spark: SparkSession, dir: String): DataFrame = {
+    // the bigram relation has THREE consumers (both model aggs + the scoring
+    // pass) — materialize the scan → split → explode subtree once (guide §2.4)
     val bg = table(spark, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
       .where(size(col("ts")) >= 2)
@@ -296,6 +298,7 @@ object TextOps {
         "transform(sequence(1, size(ts)-1), i -> struct(ts[i-1] AS w1, ts[i] AS w2))"))
         .as("p"))
       .select(col("doc_id"), col("p.w1"), col("p.w2"))
+      .localCheckpoint()
     val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
     val cp = bg.groupBy("w1").agg(count(lit(1)).as("cp"))
     bg.join(broadcast(cb), Seq("w1", "w2"))
