@@ -13,6 +13,51 @@ import org.apache.spark.sql.execution.LogicalRDD
   */
 object CacheOps {
 
+  /** Run `body` with AQE disabled and `spark.sql.shuffle.partitions` pinned
+    * to a width derived from the loop's OWN data size (guide §2: partition
+    * counts follow input size, never a constant). Fixed-point loops
+    * (components, PageRank, k-core, SSSP, pointer jumping) materialize one
+    * tiny checkpoint per round; under AQE each exchange in that plan is its
+    * own sub-job, so a 4-round loop pays ~25-45 job submissions of pure
+    * scheduling (measured 20-50 ms each at sf0.1 while every stage ran 1-2
+    * tasks). With AQE off each round is ONE job; the width pin keeps the
+    * static planner from fanning tiny shuffles to the session default.
+    * Restores both confs on exit (including the loud non-convergence throw).
+    * The session's thread confs are mutated, so callers must not run
+    * concurrent queries on the same session inside `body` — true of every
+    * loop here (rounds are inherently sequential). */
+  def withLoopConf[T](spark: org.apache.spark.sql.SparkSession, rows: Long)(body: => T): T =
+    withLoopWidth(spark, math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong, rows / 65536L)).toInt)(body)
+
+  /** Loop width for a MATERIALIZED localCheckpoint, derived from its
+    * registered block bytes (~1 MB per partition, capped at session
+    * parallelism) — a pure driver-side storage-info lookup, so operators
+    * whose specs pin "zero count actions" (CacheSpec on dupComponents) can
+    * size their loops without running a job. */
+  def checkpointWidth(spark: org.apache.spark.sql.SparkSession, df: DataFrame): Int = {
+    val bytes = df.queryExecution.analyzed match {
+      case lr: LogicalRDD =>
+        spark.sparkContext.getRDDStorageInfo.find(_.id == lr.rdd.id)
+          .map(i => i.memSize + i.diskSize).getOrElse(0L)
+      case _ => 0L
+    }
+    math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
+      bytes / (1L << 20))).toInt
+  }
+
+  def withLoopWidth[T](spark: org.apache.spark.sql.SparkSession, width: Int)(body: => T): T = {
+    val conf = spark.conf
+    val aqe = conf.get("spark.sql.adaptive.enabled")
+    val sp = conf.get("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.shuffle.partitions", width.toString)
+    try body finally {
+      conf.set("spark.sql.adaptive.enabled", aqe)
+      conf.set("spark.sql.shuffle.partitions", sp)
+    }
+  }
+
   /** Drop a localCheckpoint'd DataFrame's cached blocks NOW.
     *
     * Returns true iff blocks were actually freed. A localCheckpoint'd frame

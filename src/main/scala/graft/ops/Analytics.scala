@@ -131,6 +131,11 @@ object Analytics {
                             gapUs: Long = 1800000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy("us")
+    // the session's first event type rides along as one more window over the
+    // SAME sorted partition (first_value over (user, sid) ordered by us ≡
+    // the row the rn=1 election picked — same sort, same tie resolution):
+    // the round-5 shape re-executed the scan + both windows on each side of
+    // a (user, sid) self-join that existed only to attach first_type
     val s = table(spark, dir, "events")
       .select(col("user_id"), col("event_type"),
         unix_micros(col("ts").cast("timestamp")).as("us"))
@@ -138,13 +143,9 @@ object Analytics {
       .withColumn("sid", sum(
         when(col("pus").isNull || col("us") - col("pus") > gapUs, 1L)
           .otherwise(0L)).over(w))
-    val first = s
-      .withColumn("rn", row_number().over(
+      .withColumn("first_type", first(col("event_type")).over(
         Window.partitionBy("user_id", "sid").orderBy("us")))
-      .where(col("rn") === 1)
-      .select(col("user_id"), col("sid"), col("event_type").as("first_type"))
     s.where(col("event_type") === "purchase")
-      .join(first, Seq("user_id", "sid"))
       .groupBy("first_type").agg(count(lit(1)).as("n_purchases"))
   }
 

@@ -118,6 +118,9 @@ object Graph {
     val base = BigInt(15) * BigInt(10).pow(12) / (BigInt(100) * n)
     val nodes = spark.range(0L, n.toLong, 1L, slicesFor(spark, n.toLong))
       .select(col("id").as("node"))
+    // AQE off + m-derived width for the fixed rounds (CacheOps.withLoopConf:
+    // one job per round instead of one per exchange per round)
+    graft.CacheOps.withLoopConf(spark, m.toLong) {
     var ranks = nodes.withColumn("r", lit(r0.toLong)).localCheckpoint()
     for (_ <- 1 to iters) {
       val contrib = edgesOd.join(ranks, edgesOd("u") === ranks("node"))
@@ -132,6 +135,7 @@ object Graph {
     }
     graft.CacheOps.freeLocalCheckpoint(edgesOd)
     ranks
+    }
   }
 
   /** Gate query (q142): tree depths via POINTER JUMPING (path doubling) —
@@ -154,7 +158,9 @@ object Graph {
         .otherwise(SeedExprs.mix64(col("id") + 61453L)
           .bitwiseAND(lit(Long.MaxValue)) % col("id")).as("parent"))
     // lazy checkpoint + count: the convergence count is the action that
-    // materializes the round's checkpoint — one job per round, not two
+    // materializes the round's checkpoint — one job per round, not two;
+    // AQE off + n-derived width for the rounds (CacheOps.withLoopConf)
+    graft.CacheOps.withLoopConf(spark, n.toLong) {
     var state = t.select(col("node"), col("parent").as("anc"),
       when(col("node") === 0, 0L).otherwise(1L).as("d")).localCheckpoint(false)
     var pending = state.where(col("anc") =!= 0).count()
@@ -174,6 +180,7 @@ object Graph {
     require(pending == 0,
       s"treeDepths did not converge within $maxRounds rounds")
     state.select(col("node"), col("d").as("depth"))
+    }
   }
 
   /** Gate query (q125): the k-core of the synth graph — iterative peeling
@@ -191,7 +198,10 @@ object Graph {
   def kCore(spark: SparkSession, n: Int = 250, m: Int = 1500, k: Int = 8,
             maxRounds: Int = 64): DataFrame = {
     // lazy checkpoint + count: the convergence count is the action that
-    // materializes the round's checkpoint — one job per round, not two
+    // materializes the round's checkpoint — one job per round, not two;
+    // AQE off + m-derived width for the rounds (CacheOps.withLoopConf —
+    // peeling never grows the edge set, so m bounds every round)
+    graft.CacheOps.withLoopConf(spark, m.toLong) {
     var edges = synthDraws(spark, n, m)
       .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
       .distinct().localCheckpoint(false)
@@ -222,5 +232,6 @@ object Graph {
       .localCheckpoint() // eager, so the final edge set can be freed now
     graft.CacheOps.freeLocalCheckpoint(edges)
     out
+    }
   }
 }

@@ -69,10 +69,16 @@ object Lateness {
     * the q160/q169 pattern: the data is touched once, the window touches
     * only the value domain. */
   def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    // ONE exchange end to end (guide §2.4): hash-partitioning by flag alone
+    // satisfies the (flag, cents) aggregation (subset of its grouping keys),
+    // the flag-keyed windows, AND the final flag rollup — the round-5 plan
+    // paid three exchanges for the same pipeline. Parallelism is bounded by
+    // the flag cardinality either way (the windows' own partition key).
     val g = table(spark, dir, "lineitem").select(
         col("l_returnflag").as("flag"),
         floor(col("l_extendedprice") * 100.0 + 0.5).cast("long").as("cents"),
         floor(col("l_quantity") + 0.5).cast("long").as("wt"))
+      .repartition(spark.sparkContext.defaultParallelism, col("flag"))
       .groupBy("flag", "cents").agg(sum(col("wt")).as("w"))
     val win = Window.partitionBy("flag").orderBy("cents")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

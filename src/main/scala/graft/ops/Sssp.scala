@@ -30,6 +30,9 @@ object Sssp {
       .groupBy("src", "dst").agg(min(col("w")).as("w")) // parallel edges: keep min
       .localCheckpoint()
     import spark.implicits._
+    // AQE off + checkpoint-bytes-derived width for the relaxation rounds
+    // (one job per round, not one per exchange per round)
+    CacheOps.withLoopWidth(spark, CacheOps.checkpointWidth(spark, edges)) {
     var dist = Seq((0L, 0L)).toDF("node", "d").localCheckpoint()
     var k = 0
     while (k < hops) {
@@ -47,6 +50,7 @@ object Sssp {
     // ADVICE leak class (a stranded MEMORY_AND_DISK set per invocation)
     CacheOps.freeLocalCheckpoint(edges)
     dist
+    }
   }
 
   /** Gate query (q174) — time-weighted average value (TWAP) per user: each

@@ -63,8 +63,17 @@ object SegmentJoin {
     val cells = withBox
       .withColumn("cx", explode(sequence(expr("x0 div 1024"), expr("xm div 1024"))))
       .withColumn("cy", explode(sequence(expr("y0 div 1024"), expr("ym div 1024"))))
+    // hash-repartition both sides on the PBSM cell key at session
+    // parallelism: the cell equi-join's own exchange carries only ~220k
+    // narrow rows, so AQE's byte-based coalescing would run the whole
+    // O(Σ per-cell pairs²) orientation-predicate join 2-wide; the explicit
+    // partitioning is exactly the join's required distribution (no extra
+    // exchange) and is the PBSM grid-to-workers assignment at any scale
+    val nPar = spark.sparkContext.defaultParallelism
     val a = cells.select(cells.columns.map(c => col(c).as(s"a_$c")): _*)
+      .repartition(nPar, col("a_cx"), col("a_cy"))
     val b = cells.select(cells.columns.map(c => col(c).as(s"b_$c")): _*)
+      .repartition(nPar, col("b_cx"), col("b_cy"))
     val d1 = cross(col("b_x1"), col("b_y1"), col("b_x2"), col("b_y2"), col("a_x1"), col("a_y1"))
     val d2 = cross(col("b_x1"), col("b_y1"), col("b_x2"), col("b_y2"), col("a_x2"), col("a_y2"))
     val d3 = cross(col("a_x1"), col("a_y1"), col("a_x2"), col("a_y2"), col("b_x1"), col("b_y1"))

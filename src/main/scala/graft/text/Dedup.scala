@@ -360,6 +360,12 @@ object Dedup {
     val edges = pairs.select(col("a").as("u"), col("b").as("v"))
       .unionByName(pairs.select(col("b").as("u"), col("a").as("v")))
       .localCheckpoint()
+    // the loop's per-round relations are O(|edges|): run the rounds with
+    // AQE off and a width derived from the edge checkpoint's block bytes
+    // (one job per round instead of one per exchange per round; the width
+    // lookup is driver-side only — this operator's spec pins zero count
+    // actions)
+    graft.CacheOps.withLoopWidth(spark, graft.CacheOps.checkpointWidth(spark, edges)) {
     var labels: DataFrame = edges.select(col("u").as("doc_id")).distinct()
       .withColumn("label", col("doc_id")).localCheckpoint()
     var changed = 1L
@@ -387,6 +393,7 @@ object Dedup {
       s"dupComponents did not converge within $maxRounds rounds (diameter too large)")
     graft.CacheOps.freeLocalCheckpoint(edges) // callers read only `labels`
     labels
+    }
   }
 
   /** End-to-end dedup DECISION list — the step that turns the pair graph
@@ -481,6 +488,11 @@ object Dedup {
     var edges = pairs
       .select(least(col("a"), col("b")).as("lo"), greatest(col("a"), col("b")).as("hi"))
       .filter(col("lo") =!= col("hi")).distinct().localCheckpoint()
+    val spark = pairs.sparkSession
+    // AQE off + checkpoint-bytes-derived width for the rounds: star
+    // contraction never grows the edge set, so the initial checkpoint
+    // bounds every round's relations
+    graft.CacheOps.withLoopWidth(spark, graft.CacheOps.checkpointWidth(spark, edges)) {
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
@@ -523,6 +535,7 @@ object Dedup {
       .localCheckpoint()
     graft.CacheOps.freeLocalCheckpoint(edges)
     rollup
+    }
   }
 
   /** n-gram Jaccard near-dup, exact (the verification-grade variant):
