@@ -22,7 +22,10 @@ object Baskets {
   def pairRules(spark: SparkSession, dir: String, minSup: Long = 3L): DataFrame = {
     // the distinct basket relation has FOUR consumers (item counts, order
     // total, both sides of the pair self-join) — materialize its scan +
-    // distinct exchange once (guide §2.4), not once per consumer
+    // distinct exchange once (guide §2.4), not once per consumer. (A
+    // session-width pre-partitioning on the basket key was tried and
+    // reverted: it made every SMALL consumer pay a 32-task stage and cost
+    // more in scheduling than the wider pair join saved.)
     val b = table(spark, dir, "lineitem")
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
       .localCheckpoint()

@@ -34,9 +34,14 @@ object Robust {
     * DESCENDING distinct-value relation, tail sum/count exact integers,
     * mean as div. The risk aggregate that a mean or p95 alone understates. */
   def tailShortfall(spark: SparkSession, dir: String): DataFrame = {
+    // ONE exchange end to end (the q178 pattern): hash(grp) satisfies the
+    // (grp, cents) aggregation, both windows and the final rollup; cents
+    // are near-unique per row, so the lost map-side partial agg was not
+    // compressing anything
     val g = table(spark, dir, "orders").select(
         col("o_orderpriority").as("grp"),
         floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
+      .repartition(spark.sparkContext.defaultParallelism, col("grp"))
       .groupBy("grp", "cents").agg(count(lit(1)).as("c"))
     val w = Window.partitionBy("grp").orderBy(col("cents").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -61,9 +66,12 @@ object Robust {
     * tiny per-group band relation back onto the rollup — the data is
     * scanned once. */
   def winsorized(spark: SparkSession, dir: String): DataFrame = {
+    // ONE exchange per consumer (the q178 pattern) — hash(grp) satisfies
+    // the aggregation, the windows, the band rollup and the clamping join
     val g = table(spark, dir, "orders").select(
         col("o_orderpriority").as("grp"),
         floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
+      .repartition(spark.sparkContext.defaultParallelism, col("grp"))
       .groupBy("grp", "cents").agg(count(lit(1)).as("c"))
     val w = Window.partitionBy("grp").orderBy("cents")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -725,9 +725,18 @@ object Dedup {
       .withColumn("n", count(lit(1)).over(n))
       .where(col("r") <= col("n") - expr(s"($tauNum * n + ${tauDen - 1}) div $tauDen") + 1)
       .select(col("doc_id"), col("s"))
+    // ~300k candidates at sf0.1: pin the distinct + verify width to a
+    // MODERATE fan-out (quarter parallelism). AQE's byte-based coalescing
+    // runs these string-probe stages 2-wide; full session width was
+    // measured to inflate per-probe CPU ~7x (32 threads random-probing the
+    // shared broadcast shingle relations saturate memory bandwidth), so
+    // quarter width is the balance point on bandwidth-bound probe stages.
     val cand = pfx.as("a").join(pfx.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .repartition(math.max(2, spark.sparkContext.defaultParallelism / 4),
+        col("da"), col("db"))
+      .distinct()
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(sh.select(col("doc_id").as("da"), col("s")), Seq("da"))
