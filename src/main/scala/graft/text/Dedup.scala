@@ -168,10 +168,17 @@ object Dedup {
         col("r.doc_id") === col("b") && col("l.gh") === col("r.gh"))
       .groupBy(col("a"), col("b"), col("l.n_sh").as("na"), col("r.n_sh").as("nb"))
       .agg(count(lit(1)).as("common"))
-    inter
+    // the verified pair list is O(dup pairs) — checkpoint it eagerly so the
+    // signature checkpoint's blocks (the big intermediate) can be freed NOW
+    // instead of leaking until a driver GC; consumers (components, decision
+    // list, splits, the gate count) read the small materialized pairs
+    val out = inter
       .withColumn("j_bp", floor(col("common") * 10000.0 / (col("na") + col("nb") - col("common"))).cast("long"))
       .filter(col("j_bp") >= (threshold * 10000).toLong)
       .select(col("a"), col("b"), col("common"), col("j_bp"))
+      .localCheckpoint()
+    graft.CacheOps.freeLocalCheckpoint(signed)
+    out
   }
 
   /** LSH band-bucket candidate pairs with a hot-bucket bound: band the
