@@ -30,21 +30,41 @@ object CacheOps {
     withLoopWidth(spark, math.max(1L, math.min(
       spark.sparkContext.defaultParallelism.toLong, rows / 65536L)).toInt)(body)
 
-  /** Loop width for a MATERIALIZED localCheckpoint, derived from its
-    * registered block bytes (~1 MB per partition, capped at session
-    * parallelism) — a pure driver-side storage-info lookup, so operators
-    * whose specs pin "zero count actions" (CacheSpec on dupComponents) can
-    * size their loops without running a job. */
-  def checkpointWidth(spark: org.apache.spark.sql.SparkSession, df: DataFrame): Int = {
-    val bytes = df.queryExecution.analyzed match {
+  /** Materialized byte size of a localCheckpoint'd frame — a pure
+    * driver-side storage-info lookup (no job; 0 for non-checkpoints or
+    * not-yet-materialized ones). */
+  def checkpointBytes(spark: org.apache.spark.sql.SparkSession, df: DataFrame): Long =
+    df.queryExecution.analyzed match {
       case lr: LogicalRDD =>
         spark.sparkContext.getRDDStorageInfo.find(_.id == lr.rdd.id)
           .map(i => i.memSize + i.diskSize).getOrElse(0L)
       case _ => 0L
     }
+
+  /** Loop width for a MATERIALIZED localCheckpoint, derived from its
+    * registered block bytes (~1 MB per partition, capped at session
+    * parallelism) — so operators whose specs pin "zero count actions"
+    * (CacheSpec on dupComponents) can size their loops without a job. */
+  def checkpointWidth(spark: org.apache.spark.sql.SparkSession, df: DataFrame): Int =
     math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
-      bytes / (1L << 20))).toInt
-  }
+      checkpointBytes(spark, df) / (1L << 20))).toInt
+
+  /** Size-GATED broadcast hint for plans built over localCheckpoints.
+    * A checkpoint's LogicalRDD carries no statistics, so the planner
+    * shuffle-joins relations that parquet statistics would have broadcast;
+    * a blanket `broadcast()` hint would fix that locally but FORCE an
+    * unbounded broadcast at production scale. This gates the hint on the
+    * MEASURED materialized size of `basis` (the checkpoint the relation
+    * derives from): under `maxBasisBytes` (default 64 MB — guide §3.1's
+    * "a few hundred MB is usually fine" with margin for derived-relation
+    * expansion) the broadcast the stats-driven plan chose is restored;
+    * above it the shuffle-join fallback stands. Scale-adaptive by
+    * construction, like autoBroadcastJoinThreshold but fed by real bytes. */
+  def broadcastIfSmall(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
+                       basis: DataFrame, maxBasisBytes: Long = 64L << 20): DataFrame =
+    if (checkpointBytes(spark, basis) <= maxBasisBytes)
+      org.apache.spark.sql.functions.broadcast(df)
+    else df
 
   def withLoopWidth[T](spark: org.apache.spark.sql.SparkSession, width: Int)(body: => T): T = {
     val conf = spark.conf

@@ -78,7 +78,7 @@ object Sharding {
     val dhits = hits.select("k", "shift", "route_id").distinct().localCheckpoint()
     val bestPerKey = dhits
       .groupBy("k").agg(min(col("shift")).as("shift"))
-      .join(broadcast(dhits), Seq("k", "shift"))
+      .join(graft.CacheOps.broadcastIfSmall(spark, dhits, dhits), Seq("k", "shift"))
     bestPerKey.join(keyCnt, Seq("k"))
       .groupBy(col("route_id"), col("shift"))
       .agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"))

@@ -156,15 +156,19 @@ object Dedup {
       .localCheckpoint()
     val cand = minhashCandidates(signed, bands, k / bands, maxBucket)
     // exact verification: intersect candidate pairs' shingle-hash sets.
-    // Explicit broadcast hints: `signed` is a localCheckpoint (no size
-    // statistics on its LogicalRDD), so without them the planner shuffle-
-    // joins what round 5's parquet-stats-driven plan broadcast — the tiny
-    // candidate list, and the exploded hash relation on the verify side.
+    // Size-GATED broadcast hints (CacheOps.broadcastIfSmall on the measured
+    // signature-checkpoint bytes): `signed` is a localCheckpoint with no
+    // size statistics, so without a hint the planner shuffle-joins what
+    // round 5's parquet-stats-driven plan broadcast — the candidate list
+    // and the exploded hash relation — while a blanket hint would force an
+    // unbounded broadcast at production corpus sizes. The gate restores the
+    // stats plan exactly where the bytes prove it fits.
+    def bis(df: DataFrame) = graft.CacheOps.broadcastIfSmall(spark, df, signed)
     val ex = signed.select(col("doc_id"), size(col("shs")).as("n_sh"),
       explode(col("shs")).as("gh"))
     val inter = ex.as("l")
-      .join(broadcast(cand), col("l.doc_id") === col("a"))
-      .join(broadcast(ex.as("r")),
+      .join(bis(cand), col("l.doc_id") === col("a"))
+      .join(bis(ex.as("r")),
         col("r.doc_id") === col("b") && col("l.gh") === col("r.gh"))
       .groupBy(col("a"), col("b"), col("l.n_sh").as("na"), col("r.n_sh").as("nb"))
       .agg(count(lit(1)).as("common"))
@@ -211,19 +215,23 @@ object Dedup {
     * group. Shared by minhash bands, simhash segments (shape-specialized
     * there for the fingerprint columns) and the ANN cosine LSH tier. */
   def boundedPairs(banded: DataFrame, maxBucket: Int): DataFrame = {
-    // broadcast hints: `banded` often derives from a localCheckpoint'ed
-    // signature frame (no size statistics on its LogicalRDD), and the
-    // bucket-size rollup / bucket self-join sides are small by construction
-    // (one row per (band, bucket) resp. per member) — without the hints the
-    // planner falls back to shuffle joins for what parquet statistics let
-    // it broadcast in round 5
-    val sized = banded.join(
-      broadcast(banded.groupBy(col("band"), col("bucket"))
+    // the banding relation has two consumers (bucket-size rollup + the
+    // bucket self-join) — materialize it once, and use its MEASURED bytes
+    // to gate the broadcast hints (CacheOps.broadcastIfSmall): banded often
+    // derives from a stats-less localCheckpoint'ed signature frame, so the
+    // planner would shuffle-join what round 5's parquet statistics let it
+    // broadcast; the gate restores that plan only while the bytes fit —
+    // never a forced broadcast of a production-scale banding
+    val spark = banded.sparkSession
+    val bd = banded.localCheckpoint()
+    def bis(df: DataFrame) = graft.CacheOps.broadcastIfSmall(spark, df, bd)
+    val sized = bd.join(
+      bis(bd.groupBy(col("band"), col("bucket"))
         .agg(count(lit(1)).as("bn"),
           min(col("doc_id")).as("hub_lo"), max(col("doc_id")).as("hub_hi"))),
       Seq("band", "bucket"))
     val small = sized.filter(col("bn") <= maxBucket)
-    val pairwise = small.as("l").join(broadcast(small.as("r")),
+    val pairwise = small.as("l").join(bis(small.as("r")),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
@@ -286,17 +294,24 @@ object Dedup {
     // segment extraction MUST be bitwise (shiftright sign-extends and a signed
     // `% 65536` of a negative value is NOT the low 16 bits — that dropped
     // pairs whose fingerprints differ in sign)
+    // the segment relation has two consumers (bucket rollup + self-join) —
+    // materialize it once and use its measured bytes to gate the broadcast
+    // hints (the boundedPairs discipline; the corpus side is often itself a
+    // stats-less localCheckpoint, e.g. the q78/q79 planted phash table)
+    val spark = df.sparkSession
     val segs = df.select(col("doc_id"), col("sh"), posexplode(array(
       (0 until 4).map(s => shiftright(col("sh"), s * 16).bitwiseAND(lit(65535L))): _*)))
       .toDF("doc_id", "sh", "seg_idx", "seg")
+      .localCheckpoint()
+    def bis(d: DataFrame) = graft.CacheOps.broadcastIfSmall(spark, d, segs)
     val sized = segs.join(
-      segs.groupBy(col("seg_idx"), col("seg"))
+      bis(segs.groupBy(col("seg_idx"), col("seg"))
         .agg(count(lit(1)).as("bn"),
           min(col("doc_id")).as("hub_lo"), min_by(col("sh"), col("doc_id")).as("hub_lo_sh"),
-          max(col("doc_id")).as("hub_hi"), max_by(col("sh"), col("doc_id")).as("hub_hi_sh")),
+          max(col("doc_id")).as("hub_hi"), max_by(col("sh"), col("doc_id")).as("hub_hi_sh"))),
       Seq("seg_idx", "seg"))
     val small = sized.filter(col("bn") <= maxBucket)
-    val pairwise = small.as("l").join(small.as("r"),
+    val pairwise = small.as("l").join(bis(small.as("r")),
         col("l.seg_idx") === col("r.seg_idx") && col("l.seg") === col("r.seg") &&
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
@@ -574,11 +589,14 @@ object Dedup {
       .filter(col("df") <= maxDf).select(col("g"))
     val exc = ex.join(dfok, Seq("g"))
     val n = exc.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    // broadcast hint on the build side: exn is a localCheckpoint (no size
-    // statistics), and without it the planner shuffle-joins what the
-    // parquet-stats-driven round-5 plan broadcast
+    // size-GATED broadcast hint on the build side (CacheOps.broadcastIfSmall
+    // on the checkpoint's measured bytes): exn is a localCheckpoint with no
+    // size statistics, and without a hint the planner shuffle-joins what the
+    // parquet-stats-driven round-5 plan broadcast; the gate never forces a
+    // production-scale broadcast
     val exn = exc.join(n, Seq("doc_id")).localCheckpoint()
-    val inter = exn.as("l").join(broadcast(exn.as("r")),
+    val inter = exn.as("l").join(
+      graft.CacheOps.broadcastIfSmall(spark, exn.as("r"), exn),
         col("l.source") === col("r.source") && col("l.g") === col("r.g") &&
           col("l.doc_id") < col("r.doc_id"))
       .groupBy(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
@@ -689,10 +707,9 @@ object Dedup {
     // one partitioning end to end
     val dfok = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select(col("g"))
-    // broadcast hint on the build side: exc is a localCheckpoint (no size
-    // statistics) — see ngramJaccard
+    // size-gated broadcast hint on the build side — see ngramJaccard
     val exc = ex.join(dfok, Seq("g")).localCheckpoint()
-    exc.as("l").join(broadcast(exc.as("r")),
+    exc.as("l").join(graft.CacheOps.broadcastIfSmall(spark, exc.as("r"), exc),
         col("l.g") === col("r.g") && col("l.doc_id") < col("r.doc_id"))
       .groupBy(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
       .agg(count(lit(1)).as("n_spans"))

@@ -341,16 +341,16 @@ object TextOps {
   def termLift(spark: SparkSession, dir: String, minCab: Long = 25L): DataFrame = {
     // the distinct (doc, term) relation has FOUR consumers (unigram counts,
     // the N-docs count action, both sides of the pair self-join) —
-    // materialize its scan + distinct exchange once (guide §2.4); broadcast
-    // hint on the self-join build side because the checkpoint's LogicalRDD
-    // carries no size statistics
+    // materialize its scan + distinct exchange once (guide §2.4);
+    // size-gated broadcast hint on the self-join build side because the
+    // checkpoint's LogicalRDD carries no size statistics
     val t = table(spark, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .distinct()
       .localCheckpoint()
     val cw = t.groupBy("w").agg(count(lit(1)).as("c"))
     val nd = t.select("doc_id").distinct().count()
-    val pair = t.as("a").join(broadcast(t.as("b")),
+    val pair = t.as("a").join(graft.CacheOps.broadcastIfSmall(spark, t.as("b"), t),
         col("a.doc_id") === col("b.doc_id") && col("a.w") < col("b.w"))
       .groupBy(col("a.w").as("wa"), col("b.w").as("wb"))
       .agg(count(lit(1)).as("cab"))
