@@ -69,16 +69,15 @@ object Sharding {
     val hits = probes.join(broadcast(rts), Seq("shift", "prefix"))
     // longest prefix = smallest shift; pick per probe ROW (k can repeat in
     // lineitem — aggregate per key first, weighting by multiplicity).
-    // The distinct hit relation feeds BOTH the winner election and the
-    // re-attach join — materialize it once (guide §2.4) instead of
-    // re-executing the probe explode + route join per consumer; broadcast
-    // hint because the checkpoint's LogicalRDD carries no size statistics
+    // NOTE: a localCheckpoint of the twice-consumed distinct hit relation
+    // was tried and REVERTED (+0.2 s consistently): the two consumers'
+    // subtrees run as overlapping broadcast-build jobs on idle cores, and
+    // the checkpoint barrier serialized them — same economics as q129.
     val keyCnt = table(spark, dir, "lineitem")
       .groupBy(col("l_partkey").as("k")).agg(count(lit(1)).as("cnt"))
-    val dhits = hits.select("k", "shift", "route_id").distinct().localCheckpoint()
-    val bestPerKey = dhits
+    val bestPerKey = hits.select("k", "shift", "route_id").distinct()
       .groupBy("k").agg(min(col("shift")).as("shift"))
-      .join(graft.CacheOps.broadcastIfSmall(spark, dhits, dhits), Seq("k", "shift"))
+      .join(hits.select("k", "shift", "route_id").distinct(), Seq("k", "shift"))
     bestPerKey.join(keyCnt, Seq("k"))
       .groupBy(col("route_id"), col("shift"))
       .agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"))
