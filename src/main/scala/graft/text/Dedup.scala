@@ -154,6 +154,11 @@ object Dedup {
         }
       }.toDF("doc_id", "sig", "shs")
       .localCheckpoint()
+    // (A static-planner withLoopWidth wrapper around the verify was tried
+    // and reverted: the pipeline's jobs are mostly CONCURRENT broadcast
+    // builds, so AQE-off bought nothing measurable, and it would forfeit
+    // AQE's skew-join splitting exactly where a production-scale verify
+    // falls back to shuffle joins.)
     val cand = minhashCandidates(signed, bands, k / bands, maxBucket)
     // exact verification: intersect candidate pairs' shingle-hash sets.
     // Size-GATED broadcast hints (CacheOps.broadcastIfSmall on the measured
